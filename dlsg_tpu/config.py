@@ -1,0 +1,251 @@
+"""Configuration system.
+
+Capability parity with the reference's argparse config (`utils/opt.py:6-152`) plus
+the per-dataset runtime overrides applied by the trainers (`run_gun.py:31-40`,
+`run_graph.py:30-33`). Re-designed as a frozen dataclass so the whole config can be
+hashed and closed over by jitted functions, with a CLI that accepts the same flag
+names and defaults as the reference.
+
+Differences from the reference (deliberate, documented in SURVEY.md §7):
+- no argparse-at-import side effects (reference quirk at `utils/data.py:11`)
+- no hard-coded `logs/hehe` tensorboard dir (`utils/opt.py:150`)
+- per-dataset overrides are an explicit, testable function instead of constructor
+  mutation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from dataclasses import dataclass, field, replace
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class DLSGConfig:
+    """All hyper-parameters of the D-LSG system.
+
+    Field names and defaults mirror `utils/opt.py:16-89` so that users of the
+    reference find the same knobs here.
+    """
+
+    # ---- General settings (opt.py:16-23) ----
+    dataset: str = "msvd"  # 'msvd' | 'msr-vtt'
+    epoch_num: int = 60
+    save_per_epoch: int = 8
+    train_batch_size: int = 128
+    test_batch_size: int = 128
+    beam_size: int = 5
+    use_glove: bool = False
+
+    # ---- Network settings (opt.py:26-56) ----
+    model: str = "RMN"
+    dropout: float = 0.3
+    use_graph: bool = True
+    use_psl_loss: bool = False
+    use_visual_gan: bool = True
+    use_lang_gan: bool = False
+    num_D_switch: int = 3
+    num_D_lang: int = 5
+    lambda_D_lang: float = 0.006
+    num_D_visual: int = 5
+    lambda_D_visual: float = 0.01
+
+    frame_hidden_size: int = 1000
+    motion_hidden_size: int = 1000
+    visual_hidden_size: int = 1024
+    region_projected_size: int = 1024
+    spatial_projected_size: int = 300
+    num_proposals: int = 8
+    num_obj: int = 16
+    num_topk: int = 3
+
+    word_size: int = 300
+    gan_word_size: int = 512
+    hidden_size: int = 1300
+    att_size: int = 1024
+    time_size: int = 300
+    query_hidden_size: int = 1024
+    decode_hidden_size: int = 1536
+    ss_factor: int = 20
+
+    # ---- Optimization settings (opt.py:59-63) ----
+    learning_rate: float = 0.00016
+    grad_clip: float = 10.0
+
+    # ---- Feature extraction constants (opt.py:66-72) ----
+    max_frames: int = 26
+    max_words: int = 26
+    num_boxes: int = 36
+    a_feature_size: int = 1536
+    m_feature_size: int = 1024
+    region_feature_size: int = 2048
+    spatial_feature_size: int = 5
+
+    # ---- Dataset ranges (opt.py:79-89) ----
+    msrvtt_train_range: Tuple[int, int] = (0, 6513)
+    msrvtt_val_range: Tuple[int, int] = (6513, 7010)
+    msrvtt_test_range: Tuple[int, int] = (7010, 10000)
+    msvd_train_range: Tuple[int, int] = (0, 1200)
+    msvd_val_range: Tuple[int, int] = (1200, 1300)
+    msvd_test_range: Tuple[int, int] = (1300, 1970)
+
+    # ---- Paths (derived like opt.py:96-134; relative to data_dir) ----
+    data_dir: str = "./data"
+    result_dir: str = "./results/dlsg"
+
+    # ---- TPU-native settings (new; no reference equivalent) ----
+    # compute dtype for matmuls/activations; params stay fp32.
+    compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    seed: int = 12  # train_debug.py:34-42 seeds everything with 12
+    mesh_data_axis: int = -1  # -1 = use all devices for data parallelism
+    mesh_model_axis: int = 1
+    log_every: int = 10  # run_gun.py:236 prints every 10 steps
+
+    # ------------------------------------------------------------------
+    @property
+    def feature_size(self) -> int:
+        """Full per-frame feature dim: appearance + motion (2560 by default)."""
+        return self.a_feature_size + self.m_feature_size
+
+    @property
+    def train_range(self) -> Tuple[int, int]:
+        return self.msvd_train_range if self.dataset == "msvd" else self.msrvtt_train_range
+
+    @property
+    def val_range(self) -> Tuple[int, int]:
+        return self.msvd_val_range if self.dataset == "msvd" else self.msrvtt_val_range
+
+    @property
+    def test_range(self) -> Tuple[int, int]:
+        return self.msvd_test_range if self.dataset == "msvd" else self.msrvtt_test_range
+
+    @property
+    def feat_dir(self) -> str:
+        sub = {"msvd": "MSVD", "msr-vtt": "MSR-VTT"}
+        if self.dataset not in sub:
+            raise ValueError("choose one dataset from msvd|msr-vtt")
+        return os.path.join(self.data_dir, sub[self.dataset])
+
+    # Derived data-file paths (opt.py:116-134)
+    @property
+    def vocab_pkl_path(self) -> str:
+        return os.path.join(self.feat_dir, f"{self.dataset}_vocab.pkl")
+
+    @property
+    def train_caption_pkl_path(self) -> str:
+        return os.path.join(self.feat_dir, f"{self.dataset}_captions_train.pkl")
+
+    @property
+    def val_caption_pkl_path(self) -> str:
+        return os.path.join(self.feat_dir, f"{self.dataset}_captions_val.pkl")
+
+    @property
+    def test_caption_pkl_path(self) -> str:
+        return os.path.join(self.feat_dir, f"{self.dataset}_captions_test.pkl")
+
+    @property
+    def feature_h5_path(self) -> str:
+        return os.path.join(self.feat_dir, f"{self.dataset}_features.h5")
+
+    @property
+    def region_feature_h5_path(self) -> str:
+        name = {"msvd": "msvd_region_feature.h5", "msr-vtt": "msrvtt_region_feature.h5"}
+        return os.path.join(self.feat_dir, name[self.dataset])
+
+    feature_h5_feats: str = "feats"
+    feature_h5_lens: str = "lens"
+    region_visual_feats: str = "vfeats"
+    region_spatial_feats: str = "sfeats"
+
+    @property
+    def val_reference_txt_path(self) -> str:
+        return os.path.join(self.feat_dir, f"{self.dataset}_val_references.txt")
+
+    @property
+    def test_reference_txt_path(self) -> str:
+        return os.path.join(self.feat_dir, f"{self.dataset}_test_references.txt")
+
+    @property
+    def test_prediction_txt_path(self) -> str:
+        return os.path.join(self.result_dir, f"{self.dataset}_test_predictions.txt")
+
+    @property
+    def checkpoint_dir(self) -> str:
+        return os.path.join(self.result_dir, "checkpoints")
+
+    def base_name(self) -> str:
+        """Experiment name, mirroring `run_gun.py:413-431`."""
+        name = f"{self.dataset}_{self.ss_factor}_GNN_{self.num_obj}_{self.num_proposals}"
+        if self.use_psl_loss:
+            name += "_use_psl_loss"
+        if self.use_visual_gan:
+            name += f"_visual_{self.lambda_D_visual}_{self.num_D_visual}"
+        return name
+
+
+def apply_dataset_overrides(cfg: DLSGConfig) -> DLSGConfig:
+    """Per-dataset hyper-parameter overrides.
+
+    The reference trainers mutate args in their constructors
+    (`run_gun.py:31-40`): msvd → decode_hidden 1024 / 8 proposals / 16 objects /
+    top-3; anything else → 1536 / 5 / 36 / 5.
+    """
+    if cfg.dataset == "msvd":
+        return replace(cfg, decode_hidden_size=1024, num_proposals=8, num_obj=16, num_topk=3)
+    return replace(cfg, decode_hidden_size=1536, num_proposals=5, num_obj=36, num_topk=5)
+
+
+def tiny_test_config(**overrides) -> DLSGConfig:
+    """A small config for unit tests and dry-runs (same structure, tiny dims)."""
+    base = dict(
+        dataset="msvd",
+        train_batch_size=4,
+        test_batch_size=4,
+        beam_size=3,
+        visual_hidden_size=32,
+        region_projected_size=32,
+        query_hidden_size=32,
+        decode_hidden_size=32,
+        word_size=16,
+        gan_word_size=16,
+        num_proposals=6,
+        num_obj=8,
+        num_topk=3,
+        max_frames=7,
+        max_words=9,
+        a_feature_size=24,
+        m_feature_size=12,
+        region_feature_size=20,
+        epoch_num=2,
+    )
+    base.update(overrides)
+    return DLSGConfig(**base)
+
+
+def _add_args(parser: argparse.ArgumentParser) -> None:
+    """Register every scalar config field as a CLI flag with the dataclass default."""
+    for f in dataclasses.fields(DLSGConfig):
+        if f.type in ("str", "int", "float", str, int, float):
+            typ = {"str": str, "int": int, "float": float}.get(f.type, f.type)
+            parser.add_argument(f"--{f.name}", type=typ, default=f.default)
+        elif f.type in ("bool", bool):
+            parser.add_argument(
+                f"--{f.name}",
+                type=lambda s: s.lower() in ("1", "true", "yes"),
+                default=f.default,
+            )
+        # tuple ranges stay at their defaults (the reference never overrode them
+        # from the CLI either — argparse type=tuple is broken there, opt.py:79-89)
+
+
+def parse_opt(argv: Optional[list] = None, apply_overrides: bool = True) -> DLSGConfig:
+    """CLI entry mirroring `utils/opt.py:parse_opt` (same flag names / defaults)."""
+    parser = argparse.ArgumentParser(description="D-LSG video captioning (TPU)")
+    _add_args(parser)
+    ns = parser.parse_args(argv)
+    cfg = DLSGConfig(**{k: v for k, v in vars(ns).items()})
+    if apply_overrides:
+        cfg = apply_dataset_overrides(cfg)
+    return cfg

@@ -1,0 +1,127 @@
+"""Dataset readers.
+
+Parity with `utils/data.py`:
+- `CaptionDataset`  <- V2TDataset (data.py:13-66): one sample per *caption*;
+  captions/pos_tags/lengths/video_ids come from a pickle, frame features from
+  `h5[feats][video_id]`, region/spatial features from `h5[vfeats]/h5[sfeats]`.
+- `EvalVideoDataset` <- VideoDataset (data.py:69-86): one sample per *video* over
+  an id range.
+- MSR-VTT sharded region h5 files are concatenated on first use
+  (data.py:24-46).
+
+Deliberate departures (SURVEY.md §7): no argparse at import, no sort-by-video-id
+ragged collation — batches are dense fixed-shape arrays with explicit length
+vectors, which is what the TPU path needs.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover - h5py is baked into the image
+    h5py = None
+
+from dlsg_tpu.config import DLSGConfig
+
+
+def _to_numpy_captions(captions, lengths, max_words: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Normalize pickled captions (torch tensors or arrays) to int32 [N, T]."""
+    arrs = []
+    for c in captions:
+        a = np.asarray(c, dtype=np.int32).reshape(-1)[:max_words]
+        if a.shape[0] < max_words:
+            a = np.pad(a, (0, max_words - a.shape[0]))
+        arrs.append(a)
+    caps = np.stack(arrs, 0)
+    lens = np.asarray([int(l) for l in lengths], dtype=np.int32)
+    lens = np.minimum(lens, max_words)
+    return caps, lens
+
+
+def maybe_concat_region_shards(region_h5_path: str, cfg: DLSGConfig) -> None:
+    """Concatenate sharded MSR-VTT region h5 files into one (data.py:24-46)."""
+    if os.path.exists(region_h5_path) or h5py is None:
+        return
+    pattern = region_h5_path.replace(".h5", "*.h5")
+    file_names = sorted(glob.glob(pattern))
+    if not file_names:
+        return
+    region_all, spatial_all = [], []
+    for name in file_names:
+        with h5py.File(name, "r") as h5:
+            region_all.append(np.asarray(h5[cfg.region_visual_feats]))
+            spatial_all.append(np.asarray(h5[cfg.region_spatial_feats]))
+    with h5py.File(region_h5_path, "w") as out:
+        out.create_dataset(cfg.region_visual_feats, data=np.concatenate(region_all, 0))
+        out.create_dataset(cfg.region_spatial_feats, data=np.concatenate(spatial_all, 0))
+
+
+class CaptionDataset:
+    """Training dataset: one sample per caption (data.py:13-66)."""
+
+    def __init__(self, cfg: DLSGConfig, cap_pkl: Optional[str] = None):
+        self.cfg = cfg
+        cap_pkl = cap_pkl or cfg.train_caption_pkl_path
+        with open(cap_pkl, "rb") as f:
+            captions, pos_tags, lengths, video_ids = pickle.load(f)
+        self.captions, self.lengths = _to_numpy_captions(captions, lengths, cfg.max_words)
+        self.pos_tags, _ = _to_numpy_captions(pos_tags, lengths, cfg.max_words)
+        self.video_ids = np.asarray([int(v) for v in video_ids], dtype=np.int32)
+
+        maybe_concat_region_shards(cfg.region_feature_h5_path, cfg)
+        self._frame_h5 = h5py.File(cfg.feature_h5_path, "r")
+        self._region_h5 = h5py.File(cfg.region_feature_h5_path, "r")
+        self.video_feats = self._frame_h5[cfg.feature_h5_feats]
+        self.region_feats = self._region_h5[cfg.region_visual_feats]
+        self.spatial_feats = self._region_h5[cfg.region_spatial_feats]
+
+    def __len__(self) -> int:
+        return len(self.captions)
+
+    def __getitem__(self, index: int):
+        vid = int(self.video_ids[index])
+        return {
+            "frames": np.asarray(self.video_feats[vid], np.float32),
+            "regions": np.asarray(
+                self.region_feats[vid][:, : self.cfg.num_obj, :], np.float32
+            ),
+            "spatials": np.asarray(self.spatial_feats[vid], np.float32),
+            "captions": self.captions[index],
+            "pos_tags": self.pos_tags[index],
+            "lengths": self.lengths[index],
+            "video_ids": np.int32(vid),
+        }
+
+
+class EvalVideoDataset:
+    """Eval dataset: one sample per video over an id range (data.py:69-86)."""
+
+    def __init__(self, cfg: DLSGConfig, eval_range: Optional[Tuple[int, int]] = None):
+        self.cfg = cfg
+        self.eval_list = tuple(range(*(eval_range or cfg.test_range)))
+        self._frame_h5 = h5py.File(cfg.feature_h5_path, "r")
+        self._region_h5 = h5py.File(cfg.region_feature_h5_path, "r")
+        self.video_feats = self._frame_h5[cfg.feature_h5_feats]
+        self.region_feats = self._region_h5[cfg.region_visual_feats]
+        self.spatial_feats = self._region_h5[cfg.region_spatial_feats]
+
+    def __len__(self) -> int:
+        return len(self.eval_list)
+
+    def __getitem__(self, index: int):
+        vid = self.eval_list[index]
+        return {
+            "frames": np.asarray(self.video_feats[vid], np.float32),
+            "regions": np.asarray(
+                self.region_feats[vid][:, : self.cfg.num_obj, :], np.float32
+            ),
+            "spatials": np.asarray(self.spatial_feats[vid], np.float32),
+            "video_ids": np.int32(vid),
+        }

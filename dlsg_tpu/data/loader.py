@@ -1,0 +1,75 @@
+"""Host-side batching.
+
+Replaces the reference's DataLoader + DistributedSampler + collate stack
+(`utils/data.py:89-147`) with a simple deterministic batcher that produces dense,
+fixed-shape numpy batches ready for device_put under a data-sharded mesh.
+
+Multi-host notes: `shard_index`/`num_shards` give each host a disjoint slice,
+replacing `DistributedSampler`; every host reshuffles every epoch (the reference
+had a bug where only rank 0 called `set_epoch`, run_gun.py:144-145 — fixed here,
+SURVEY.md §7 'behaviors to deliberately not copy').
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+def _stack_batch(dataset, idxs) -> Dict[str, np.ndarray]:
+    samples = [dataset[int(i)] for i in idxs]
+    return {k: np.stack([s[k] for s in samples], 0) for k in samples[0]}
+
+
+def train_batches(
+    dataset,
+    batch_size: int,
+    *,
+    seed: int = 12,
+    epoch: int = 0,
+    shard_index: int = 0,
+    num_shards: int = 1,
+    drop_remainder: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Shuffled, sharded training batches.
+
+    Shuffle is seeded by (seed, epoch) identically on every host, then each host
+    takes a strided slice — the standard multi-host SPMD recipe.
+    """
+    n = len(dataset)
+    order = np.random.default_rng(seed + 1000 * epoch).permutation(n)
+    order = order[shard_index::num_shards]
+    num_full = len(order) // batch_size
+    for b in range(num_full):
+        yield _stack_batch(dataset, order[b * batch_size : (b + 1) * batch_size])
+    rem = len(order) % batch_size
+    if rem and not drop_remainder:
+        yield _stack_batch(dataset, order[num_full * batch_size :])
+
+
+def eval_batches(
+    dataset,
+    batch_size: int,
+    *,
+    shard_index: int = 0,
+    num_shards: int = 1,
+    pad_to_full: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Sequential eval batches.
+
+    The final partial batch is padded to full size by repeating the last sample
+    (static shapes -> a single compiled decode fn). A boolean `valid` mask marks
+    the genuine entries so scoring can drop the padding.
+    """
+    idxs = np.arange(len(dataset))[shard_index::num_shards]
+    for b in range(0, len(idxs), batch_size):
+        chunk = idxs[b : b + batch_size]
+        valid = np.ones(len(chunk), bool)
+        if len(chunk) < batch_size and pad_to_full:
+            pad = np.full(batch_size - len(chunk), chunk[-1])
+            chunk = np.concatenate([chunk, pad])
+            valid = np.concatenate([valid, np.zeros(len(pad), bool)])
+        batch = _stack_batch(dataset, chunk)
+        batch["valid"] = valid
+        yield batch

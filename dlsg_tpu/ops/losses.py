@@ -1,0 +1,105 @@
+"""Loss functions.
+
+- masked cross-entropy: dense-mask equivalent of the reference's per-sample
+  truncate-and-concat CE (`run_gun.py:189-197`) — mean of -log p(target) over
+  the first `cap_len` positions of every sample.
+- WGAN-GP: discriminator loss `mean(f) - mean(r) + 10*gp` with the gradient
+  penalty computed via `jax.grad` through the discriminator
+  (`run_gun.py:339-383`). The reference must disable cuDNN to make this
+  double-backward work (train_debug.py:51); JAX handles grad-of-grad natively.
+- generator adversarial loss: `-mean(D(fake))` (`run_gun.py:219`).
+- psl diversity margin loss (`run_gun.py:322-336`, defined-but-unused in the
+  reference; kept for capability parity).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def length_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
+    """[B] lengths -> [B, max_len] float mask (1 where position < length)."""
+    pos = jnp.arange(max_len)[None, :]
+    return (pos < lengths[:, None]).astype(jnp.float32)
+
+
+def masked_cross_entropy(
+    logits: jnp.ndarray, targets: jnp.ndarray, lengths: jnp.ndarray
+) -> jnp.ndarray:
+    """Mean CE over valid (non-pad) positions.
+
+    Equivalent to `nn.CrossEntropyLoss()(cat_j(logits[j,:len_j]),
+    cat_j(targets[j,:len_j]))` from run_gun.py:189-197, but with a dense mask —
+    no ragged host-side concatenation, fully jittable.
+    """
+    T = targets.shape[1]
+    mask = length_mask(lengths, T)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]  # [B, T]
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def to_onehot(seq: jnp.ndarray, vocab_size: int) -> jnp.ndarray:
+    """[B, T] int -> [B, T, V] one-hot (run_gun.py:449-453; pad id included,
+    matching the reference's scatter)."""
+    return jax.nn.one_hot(seq, vocab_size, dtype=jnp.float32)
+
+
+def gradient_penalty(
+    d_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    real: jnp.ndarray,
+    fake: jnp.ndarray,
+    eps: jnp.ndarray,
+) -> jnp.ndarray:
+    """WGAN-GP penalty: E[(||∇_x D(x_mix)||_2 - 1)^2] (run_gun.py:355-371).
+
+    Args:
+      d_fn: captions [B, T, V] -> per-sample logits [B].
+      real/fake: caption distributions [B, T, V].
+      eps: per-sample mixing coefficients [B, 1, 1] ~ U[0, 1].
+    """
+    mixed = real * eps + fake * (1.0 - eps)
+    # grad_outputs=ones <=> gradient of sum(D(mixed)) w.r.t. mixed
+    grads = jax.grad(lambda m: jnp.sum(d_fn(m)))(mixed)
+    grads = grads.reshape(grads.shape[0], -1)
+    norm = jnp.linalg.norm(grads, axis=1)
+    return jnp.mean((norm - 1.0) ** 2)
+
+
+def wgan_d_loss(
+    d_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    real: jnp.ndarray,
+    fake: jnp.ndarray,
+    eps: jnp.ndarray,
+    gp_weight: float = 10.0,
+):
+    """Discriminator loss f - r + 10*gp (run_gun.py:372-375).
+
+    Returns (loss, aux) with aux = dict(wasserstein=r - f, gp=gp).
+    """
+    r_logit = d_fn(real)
+    f_logit = d_fn(fake)
+    gp = gradient_penalty(d_fn, real, fake, eps)
+    r_loss = jnp.mean(r_logit)
+    f_loss = jnp.mean(f_logit)
+    loss = f_loss - r_loss + gp_weight * gp
+    return loss, {"wasserstein": r_loss - f_loss, "gp": gp}
+
+
+def wgan_g_loss(f_logit: jnp.ndarray) -> jnp.ndarray:
+    """Generator adversarial loss: -mean(D(fake)) (run_gun.py:219)."""
+    return -jnp.mean(f_logit)
+
+
+def psl_diversity_loss(psl: jnp.ndarray, margin: float = 0.0) -> jnp.ndarray:
+    """Cosine-embedding margin loss over all unordered proposal pairs, target=-1,
+    scaled by 0.5 (run_gun.py:322-336; unused by the reference training loop)."""
+    x = psl / (jnp.linalg.norm(psl, axis=-1, keepdims=True) + 1e-8)
+    sim = jnp.einsum("bpd,bqd->bpq", x, x)  # [B, P, P]
+    P = psl.shape[1]
+    iu = jnp.triu(jnp.ones((P, P), bool), k=1)
+    pair_loss = jnp.maximum(sim - margin, 0.0)
+    return 0.5 * jnp.sum(pair_loss * iu) / (psl.shape[0] * jnp.sum(iu))

@@ -1,0 +1,112 @@
+"""LSTM primitives designed for the TPU MXU.
+
+The reference runs cuDNN `nn.LSTM` / `nn.LSTMCell` (models/layer.py:26,318,326;
+models/model.py:123) and must *disable* cuDNN for GAN training because cuDNN LSTMs
+don't support double backward (train_debug.py:51). Here LSTMs are plain jax —
+second-order grads (needed for WGAN-GP) come for free.
+
+TPU design notes:
+- A sequence LSTM is split into (a) one large batched input projection
+  ``x @ W_ih`` over the whole ``[B*T, X]`` tensor — a single MXU-friendly matmul —
+  and (b) a `lax.scan` carrying only the small recurrent matmul ``h @ W_hh``.
+  This keeps the sequential part minimal and lets XLA pipeline the big matmul.
+- Gates are fused into one ``4H`` projection (one matmul per step instead of 4).
+- Gate order is (i, f, g, o), matching torch's LSTM layout so that reference
+  checkpoints could be transliterated if ever needed.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def lstm_step(
+    xw: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray, w_hh: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One LSTM step given a pre-projected input.
+
+    Args:
+      xw: ``x @ W_ih + b`` for this step, shape [B, 4H].
+      h, c: previous hidden / cell state, [B, H].
+      w_hh: recurrent weights, [H, 4H].
+
+    Returns:
+      (h', c')
+    """
+    gates = xw + jnp.dot(h, w_hh, preferred_element_type=jnp.float32)
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+class LSTMCell(nn.Module):
+    """Fused-gate LSTM cell (torch ``nn.LSTMCell`` equivalent).
+
+    Used by the decoder's query/language cells (models/layer.py:318,326).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, h, c):
+        xw = nn.Dense(4 * self.features, name="ih")(x)
+        w_hh = self.param(
+            "w_hh",
+            nn.initializers.orthogonal(),
+            (self.features, 4 * self.features),
+            jnp.float32,
+        )
+        return lstm_step(xw, h, c, w_hh)
+
+
+class LSTMSequence(nn.Module):
+    """Unidirectional LSTM over a full sequence via lax.scan.
+
+    The input projection is hoisted out of the scan (one big matmul).
+    """
+
+    features: int
+    reverse: bool = False
+
+    @nn.compact
+    def __call__(self, x):  # x: [B, T, X]
+        xw = nn.Dense(4 * self.features, name="ih")(x)  # [B, T, 4H]
+        w_hh = self.param(
+            "w_hh",
+            nn.initializers.orthogonal(),
+            (self.features, 4 * self.features),
+            jnp.float32,
+        )
+        B = x.shape[0]
+        h0 = jnp.zeros((B, self.features), x.dtype)
+        c0 = jnp.zeros((B, self.features), x.dtype)
+
+        def step(carry, xw_t):
+            h, c = carry
+            h, c = lstm_step(xw_t, h, c, w_hh)
+            return (h, c), h
+
+        xw_t_major = jnp.swapaxes(xw, 0, 1)  # [T, B, 4H]
+        (_, _), hs = jax.lax.scan(step, (h0, c0), xw_t_major, reverse=self.reverse)
+        return jnp.swapaxes(hs, 0, 1)  # [B, T, H]
+
+
+class BiLSTM(nn.Module):
+    """Bidirectional LSTM: forward + backward scans, concatenated.
+
+    Equivalent of ``nn.LSTM(h, h, bidirectional=True)`` in EncoderVisual
+    (models/layer.py:26). Output [B, T, 2H].
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        fwd = LSTMSequence(self.features, reverse=False, name="fwd")(x)
+        bwd = LSTMSequence(self.features, reverse=True, name="bwd")(x)
+        return jnp.concatenate([fwd, bwd], axis=-1)

@@ -1,0 +1,132 @@
+"""Beam search semantics tests (reference: models/allennlp_beamsearch.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dlsg_tpu.ops.beam_search import beam_search
+
+END = 2
+
+
+def _static_step(transition_logp):
+    """A step function from a fixed [V, V] log-prob transition matrix."""
+
+    def step(tokens, state):
+        return transition_logp[tokens], state
+
+    return step
+
+
+def test_beam_finds_most_probable_path():
+    """Deterministic chain 0->1->3->2(end): beam must recover it exactly."""
+    V = 5
+    logp = jnp.full((V, V), -20.0)
+    logp = logp.at[0, 1].set(-0.1)
+    logp = logp.at[1, 3].set(-0.1)
+    logp = logp.at[3, END].set(-0.1)
+    logp = logp.at[END, END].set(0.0)
+    preds, lps = beam_search(
+        jnp.zeros((1,), jnp.int32),
+        {"s": jnp.zeros((1, 1))},
+        _static_step(logp),
+        end_id=END,
+        max_steps=4,
+        beam_size=3,
+    )
+    assert preds.shape == (1, 3, 4)
+    np.testing.assert_array_equal(np.asarray(preds[0, 0]), [1, 3, END, END])
+
+
+def test_end_forcing_keeps_score_constant():
+    """After <end>, a beam must only emit <end> and keep its log-prob."""
+    V = 4
+    logp = jnp.log(jnp.full((V, V), 1.0 / V))
+    logp = logp.at[1].set(jnp.array([-20.0, -20.0, -0.01, -20.0]))  # 1 -> end
+    preds, lps = beam_search(
+        jnp.ones((2,), jnp.int32),
+        {"s": jnp.zeros((2, 1))},
+        _static_step(logp),
+        end_id=END,
+        max_steps=6,
+        beam_size=2,
+    )
+    # best beam: end immediately then forced ends forever
+    np.testing.assert_array_equal(np.asarray(preds[0, 0]), [END] * 6)
+    # forced end steps contribute 0 logprob: total = first-step logprob
+    np.testing.assert_allclose(float(lps[0, 0]), -0.01, atol=1e-5)
+
+
+def test_beams_sorted_by_logprob():
+    V = 6
+    key = jax.random.PRNGKey(0)
+    logp = jax.nn.log_softmax(jax.random.normal(key, (V, V)), axis=-1)
+    preds, lps = beam_search(
+        jnp.zeros((3,), jnp.int32),
+        {"s": jnp.zeros((3, 1))},
+        _static_step(logp),
+        end_id=END,
+        max_steps=5,
+        beam_size=4,
+    )
+    lps = np.asarray(lps)
+    assert np.all(np.diff(lps, axis=1) <= 1e-6)
+
+
+def test_beam_matches_exhaustive_search():
+    """beam_size == V^... large enough to be exhaustive on a tiny vocab: the top
+    sequence must equal brute-force argmax over all length-3 paths."""
+    V = 4
+    key = jax.random.PRNGKey(42)
+    logp = jax.nn.log_softmax(jax.random.normal(key, (V, V)) * 2.0, axis=-1)
+    # kill <end> transitions so no forcing interferes
+    logp = logp.at[:, END].set(-50.0)
+    logp = jax.nn.log_softmax(logp, axis=-1)
+    start = jnp.zeros((1,), jnp.int32)
+    preds, lps = beam_search(
+        start,
+        {"s": jnp.zeros((1, 1))},
+        _static_step(logp),
+        end_id=END,
+        max_steps=3,
+        beam_size=V,  # exhaustive per node
+    )
+    # brute force
+    best_score, best_seq = -np.inf, None
+    lp = np.asarray(logp)
+    for a in range(V):
+        for b in range(V):
+            for c in range(V):
+                s = lp[0, a] + lp[a, b] + lp[b, c]
+                if s > best_score:
+                    best_score, best_seq = s, (a, b, c)
+    np.testing.assert_array_equal(np.asarray(preds[0, 0]), best_seq)
+    np.testing.assert_allclose(float(lps[0, 0]), best_score, atol=1e-5)
+
+
+def test_state_follows_backpointers():
+    """State must be reordered by ancestor beam: track token history in state
+    and verify it matches the reconstructed predictions."""
+    V = 8
+    key = jax.random.PRNGKey(7)
+    logp = jax.nn.log_softmax(jax.random.normal(key, (V, V)) * 3.0, axis=-1)
+    logp = logp.at[:, END].set(-50.0)
+    logp = jax.nn.log_softmax(logp, axis=-1)
+    T = 5
+
+    def step(tokens, state):
+        hist = state["hist"]
+        pos = state["pos"]
+        hist = hist.at[:, pos[0]].set(tokens.astype(jnp.int32))
+        return logp[tokens], {"hist": hist, "pos": pos + 1}
+
+    B = 2
+    init = {
+        "hist": jnp.full((B, T + 1), -1, jnp.int32),
+        "pos": jnp.zeros((B,), jnp.int32),
+    }
+    preds, _ = beam_search(
+        jnp.zeros((B,), jnp.int32), init, step,
+        end_id=END, max_steps=T, beam_size=3,
+    )
+    assert preds.shape == (B, 3, T)

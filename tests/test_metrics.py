@@ -1,0 +1,147 @@
+"""Metric golden-value tests.
+
+Expected numbers were produced by running the reference's vendored pure-Python
+scorers (caption-eval/pycocoevalcap/{bleu,cider,rouge}) on the fixtures below —
+our implementations must agree to float precision (SURVEY.md §4 'golden-value
+tests').
+"""
+
+import numpy as np
+import pytest
+
+from dlsg_tpu.metrics.bleu import Bleu
+from dlsg_tpu.metrics.cider import Cider
+from dlsg_tpu.metrics.meteor import Meteor, score_pair
+from dlsg_tpu.metrics.rouge import Rouge
+from dlsg_tpu.metrics.scorer import COCOScorer, score_captions
+from dlsg_tpu.metrics.stemmer import porter2_stem
+from dlsg_tpu.metrics.tokenizer import ptb_tokenize_line, tokenize_captions
+
+GTS = {
+    "1": [
+        "a man is playing a guitar on stage",
+        "a person plays guitar",
+        "the man played the guitar loudly",
+    ],
+    "2": [
+        "a dog runs in the park",
+        "the dog is running through a park",
+        "a small dog running outside",
+    ],
+    "3": [
+        "a woman is cooking food in a kitchen",
+        "someone cooks a meal",
+        "a woman prepares food",
+    ],
+    "4": ["two people are dancing", "a couple dances together", "people dance in a room"],
+}
+RES = {
+    "1": ["a man is playing a guitar"],
+    "2": ["a dog is running in the park"],
+    "3": ["a woman is cooking in the kitchen"],
+    "4": ["people are dancing together"],
+}
+
+# golden values from the reference scorers (see module docstring)
+REF_BLEU = [0.9192232297, 0.8131924267, 0.7092584599, 0.5811646353]
+REF_CIDER = 2.5193064191
+REF_CIDER_PER = [3.22101897, 2.80363541, 1.97922657, 2.07334473]
+REF_ROUGE = 0.7890410874
+REF_ROUGE_PER = [0.83561644, 0.78005115, 0.79049676, 0.75]
+
+
+def test_bleu_matches_reference():
+    score, per = Bleu(4).compute_score(GTS, RES)
+    np.testing.assert_allclose(score, REF_BLEU, rtol=1e-8)
+
+
+def test_cider_matches_reference():
+    score, per = Cider().compute_score(GTS, RES)
+    np.testing.assert_allclose(score, REF_CIDER, rtol=1e-8)
+    np.testing.assert_allclose(per, REF_CIDER_PER, rtol=1e-6)
+
+
+def test_rouge_matches_reference():
+    score, per = Rouge().compute_score(GTS, RES)
+    np.testing.assert_allclose(score, REF_ROUGE, rtol=1e-8)
+    np.testing.assert_allclose(per, REF_ROUGE_PER, rtol=1e-6)
+
+
+def test_bleu_perfect_match_is_one():
+    gts = {"a": ["the cat sat on the mat"]}
+    res = {"a": ["the cat sat on the mat"]}
+    score, _ = Bleu(4).compute_score(gts, res)
+    np.testing.assert_allclose(score, [1.0] * 4, atol=1e-6)
+
+
+def test_meteor_orders_quality():
+    """METEOR must rank exact > partial > unrelated."""
+    refs = ["a man is playing a guitar"]
+    exact = score_pair("a man is playing a guitar", refs)
+    partial = score_pair("a man plays a guitar", refs)
+    bad = score_pair("purple elephants fly quickly", refs)
+    assert exact > partial > bad
+    assert exact > 0.9
+    assert bad == 0.0
+
+
+def test_meteor_stem_stage():
+    """'plays'/'playing' should match through the stem stage."""
+    assert porter2_stem("playing") == porter2_stem("plays") == "play"
+    with_stem = score_pair("the man plays guitar", ["the man playing guitar"])
+    assert with_stem > 0.5
+
+
+def test_meteor_corpus_api():
+    score, per = Meteor().compute_score(GTS, RES)
+    assert 0.0 < score <= 1.0
+    assert len(per) == 4
+    assert all(0.0 <= s <= 1.0 for s in per)
+
+
+def test_stemmer_cases():
+    cases = {
+        "running": "run",
+        "cats": "cat",
+        "happily": "happili",
+        "generalization": "general",
+        "agreed": "agre",
+        "dogs": "dog",
+    }
+    for w, s in cases.items():
+        assert porter2_stem(w) == s, (w, porter2_stem(w), s)
+
+
+def test_ptb_tokenizer_basics():
+    assert ptb_tokenize_line("A man, playing guitar.") == [
+        "a", "man", ",", "playing", "guitar", ".",
+    ]
+    assert ptb_tokenize_line("don't stop") == ["do", "n't", "stop"]
+    assert ptb_tokenize_line("the man's dog") == ["the", "man", "'s", "dog"]
+    assert ptb_tokenize_line("hello (world)") == ["hello", "-LRB-", "world", "-RRB-"]
+
+
+def test_tokenize_captions_removes_punct():
+    caps = {"1": [{"caption": "A man, playing guitar."}]}
+    out = tokenize_captions(caps)
+    assert out == {"1": ["a man playing guitar"]}
+
+
+def test_coco_scorer_full_pipeline():
+    preds = {k: v[0] for k, v in RES.items()}
+    scores = score_captions(GTS, preds)
+    for key in ("Bleu_1", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr"):
+        assert key in scores
+    # tokenization strips trailing periods etc. but these fixtures have none,
+    # so BLEU must equal the raw-string reference values
+    np.testing.assert_allclose(scores["Bleu_4"], REF_BLEU[3], rtol=1e-6)
+    np.testing.assert_allclose(scores["CIDEr"], REF_CIDER, rtol=1e-6)
+
+
+def test_scorer_identical_prediction_scores_high():
+    gts = {"1": ["a cat sleeps"], "2": ["a dog barks loudly"]}
+    preds = {"1": "a cat sleeps", "2": "a dog barks loudly"}
+    scores = score_captions(gts, preds)
+    assert scores["Bleu_1"] > 0.99
+    assert scores["ROUGE_L"] > 0.99
+    assert scores["METEOR"] > 0.99

@@ -1,0 +1,156 @@
+"""Integration-shape tests for encoders, decoder, generator, discriminator."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dlsg_tpu.models.decoder import Decoder
+from dlsg_tpu.models.discriminator import DiscV2
+from dlsg_tpu.models.encoders import CapGnnEncoder, EncoderVisual, EncoderVisualGraphTUN
+from dlsg_tpu.models.generator import CapBaseline1, CapGnnModel
+
+VOCAB = 50
+
+
+@pytest.fixture(scope="module")
+def batch(tiny_cfg):
+    cfg = tiny_cfg
+    rng = np.random.default_rng(0)
+    B = cfg.train_batch_size
+    frames = jnp.asarray(rng.normal(size=(B, cfg.max_frames, cfg.feature_size)), jnp.float32)
+    regions = jnp.asarray(
+        rng.normal(size=(B, cfg.max_frames, cfg.num_obj, cfg.region_feature_size)),
+        jnp.float32,
+    )
+    captions = jnp.asarray(rng.integers(4, VOCAB, size=(B, cfg.max_words)), jnp.int32)
+    lengths = jnp.asarray(rng.integers(3, cfg.max_words, size=(B,)), jnp.int32)
+    return frames, regions, captions, lengths
+
+
+def test_encoder_visual_shape(tiny_cfg, batch):
+    frames, *_ = batch
+    mod = EncoderVisual(tiny_cfg)
+    v = mod.init(jax.random.PRNGKey(0), frames)
+    out = mod.apply(v, frames)
+    assert out.shape == (frames.shape[0], tiny_cfg.max_frames, tiny_cfg.visual_hidden_size)
+
+
+def test_graph_encoder_proposals(tiny_cfg, batch):
+    frames, regions, *_ = batch
+    mod = EncoderVisualGraphTUN(tiny_cfg, input_type="object")
+    v = mod.init(jax.random.PRNGKey(0), frames[..., : tiny_cfg.a_feature_size], regions)
+    out = mod.apply(v, frames[..., : tiny_cfg.a_feature_size], regions)
+    assert out.shape == (frames.shape[0], tiny_cfg.num_proposals, tiny_cfg.visual_hidden_size)
+
+
+def test_graph_encoder_skips_obj_branch_when_few_objects(tiny_cfg, batch):
+    """obj_num < 5 bypasses the object aggregation (layer.py:181-182)."""
+    frames, regions, *_ = batch
+    small = regions[:, :, :3, :]
+    mod = EncoderVisualGraphTUN(tiny_cfg, input_type="object")
+    v = mod.init(jax.random.PRNGKey(0), frames[..., : tiny_cfg.a_feature_size], small)
+    out = mod.apply(v, frames[..., : tiny_cfg.a_feature_size], small)
+    assert out.shape == (frames.shape[0], tiny_cfg.num_proposals, tiny_cfg.visual_hidden_size)
+    # no obj_embed params should exist in this configuration
+    flat = jax.tree_util.tree_leaves_with_path(v)
+    assert not any("obj_embed" in jax.tree_util.keystr(p) for p, _ in flat)
+
+
+def test_cap_gnn_encoder_two_branches(tiny_cfg, batch):
+    frames, regions, *_ = batch
+    mod = CapGnnEncoder(tiny_cfg)
+    v = mod.init(jax.random.PRNGKey(0), frames, regions)
+    obj, motion = mod.apply(v, frames, regions)
+    B, P, H = frames.shape[0], tiny_cfg.num_proposals, tiny_cfg.visual_hidden_size
+    assert obj.shape == (B, P, H) and motion.shape == (B, P, H)
+
+
+def test_decoder_train_and_greedy(tiny_cfg, batch):
+    frames, regions, captions, _ = batch
+    cfg = tiny_cfg
+    B, P, H = frames.shape[0], cfg.num_proposals, cfg.visual_hidden_size
+    feats = jnp.ones((B, P, H)) * 0.1
+    feats2 = jnp.ones((B, P, H)) * 0.2
+    mod = Decoder(cfg, VOCAB, multi_modal=True)
+    v = mod.init(jax.random.PRNGKey(0), feats, captions, 1.0, feats2)
+    logits, alpha = mod.apply(v, feats, captions, 1.0, feats2)
+    assert logits.shape == (B, cfg.max_words, VOCAB)
+    assert alpha.shape == (B, cfg.max_words, 2 * P)
+    np.testing.assert_allclose(np.sum(alpha, axis=-1), 2.0, atol=1e-4)
+
+    ids, _ = mod.apply(v, feats, None, 0.0, feats2)
+    assert ids.shape == (B, cfg.max_words)
+    assert ids.dtype == jnp.int32
+
+
+def test_decoder_scheduled_sampling_uses_rng(tiny_cfg, batch):
+    """Non-deterministic mode draws per-step teacher-forcing coins and dropout."""
+    frames, regions, captions, _ = batch
+    cfg = tiny_cfg
+    B, P, H = frames.shape[0], cfg.num_proposals, cfg.visual_hidden_size
+    feats = jnp.ones((B, P, H)) * 0.1
+    feats2 = jnp.ones((B, P, H)) * 0.2
+    mod = Decoder(cfg, VOCAB, multi_modal=True)
+    v = mod.init(jax.random.PRNGKey(0), feats, captions, 1.0, feats2)
+    rngs = {"dropout": jax.random.PRNGKey(1), "sample": jax.random.PRNGKey(2)}
+    out1, _ = mod.apply(v, feats, captions, 0.5, feats2, False, rngs=rngs)
+    rngs2 = {"dropout": jax.random.PRNGKey(3), "sample": jax.random.PRNGKey(4)}
+    out2, _ = mod.apply(v, feats, captions, 0.5, feats2, False, rngs=rngs2)
+    assert not np.allclose(out1, out2)
+
+
+def test_cap_gnn_model_end_to_end(tiny_cfg, batch):
+    frames, regions, captions, _ = batch
+    cfg = tiny_cfg
+    mod = CapGnnModel(cfg, VOCAB)
+    v = mod.init(jax.random.PRNGKey(0), frames, regions, captions)
+    out, obj, motion, alpha = mod.apply(v, frames, regions, captions)
+    B = frames.shape[0]
+    assert out.shape == (B, cfg.max_words, VOCAB)
+    assert obj.shape == (B, cfg.num_proposals, cfg.visual_hidden_size)
+    assert alpha.shape == (B, cfg.max_words, 2 * cfg.num_proposals)
+
+
+def test_cap_baseline1(tiny_cfg, batch):
+    frames, regions, captions, _ = batch
+    mod = CapBaseline1(tiny_cfg, VOCAB)
+    v = mod.init(jax.random.PRNGKey(0), frames, regions, captions)
+    out, a, b, c = mod.apply(v, frames, regions, captions)
+    assert out.shape == (frames.shape[0], tiny_cfg.max_words, VOCAB)
+    assert (a, b, c) == (0, 0, 0)
+
+
+def test_discriminator_score(tiny_cfg, batch):
+    frames, regions, captions, lengths = batch
+    cfg = tiny_cfg
+    B, T, P, H = frames.shape[0], cfg.max_words, cfg.num_proposals, cfg.visual_hidden_size
+    onehot = jax.nn.one_hot(captions, VOCAB)
+    obj = jnp.ones((B, P, H)) * 0.3
+    motion = jnp.ones((B, P, H)) * 0.1
+    seq_mask = (captions > 0).astype(jnp.float32)
+    att_mask = seq_mask[:, :, None] * seq_mask[:, None, :]
+    alpha = jax.nn.softmax(jnp.ones((B, T, 2 * P)), axis=-1)
+    mod = DiscV2(cfg, VOCAB)
+    v = mod.init(jax.random.PRNGKey(0), onehot, obj, motion, att_mask, alpha)
+    score = mod.apply(v, onehot, obj, motion, att_mask, alpha)
+    assert score.shape == (B,)
+    assert np.all(np.isfinite(score))
+
+
+def test_discriminator_grad_wrt_input(tiny_cfg, batch):
+    """WGAN-GP needs d(D)/d(caption_dist) — must be finite and non-zero."""
+    frames, regions, captions, lengths = batch
+    cfg = tiny_cfg
+    B, T, P, H = frames.shape[0], cfg.max_words, cfg.num_proposals, cfg.visual_hidden_size
+    onehot = jax.nn.one_hot(captions, VOCAB)
+    obj = jnp.ones((B, P, H)) * 0.3
+    motion = jnp.ones((B, P, H)) * 0.1
+    seq_mask = (captions > 0).astype(jnp.float32)
+    att_mask = seq_mask[:, :, None] * seq_mask[:, None, :]
+    alpha = jax.nn.softmax(jnp.ones((B, T, 2 * P)), axis=-1)
+    mod = DiscV2(cfg, VOCAB)
+    v = mod.init(jax.random.PRNGKey(0), onehot, obj, motion, att_mask, alpha)
+    g = jax.grad(lambda x: jnp.sum(mod.apply(v, x, obj, motion, att_mask, alpha)))(onehot)
+    assert np.all(np.isfinite(g))
+    assert float(jnp.abs(g).max()) > 0
