@@ -1,0 +1,126 @@
+"""Command-line entry points.
+
+Replaces the reference's entry scripts with one CLI:
+
+- `python -m dlsg_tpu.cli train`       <- train_debug.py (GAN / D-LSG training)
+- `python -m dlsg_tpu.cli train-base`  <- train.py (CE baseline)
+- `python -m dlsg_tpu.cli evaluate`    <- evaluate.py __main__ (standalone eval)
+
+All reference flags (`utils/opt.py`) are accepted. No `torch.distributed.launch`
+wrapper is needed: a single process drives all local TPU chips through the mesh;
+multi-host runs use `jax.distributed.initialize` (env-driven) transparently.
+
+`--synthetic` swaps in the hermetic synthetic dataset so the full system can be
+exercised without the (unshipped) MSVD/MSR-VTT feature files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+
+
+def _build_datasets(cfg, synthetic: bool, synthetic_videos: int = 32):
+    if synthetic:
+        from dlsg_tpu.data.synthetic import SyntheticDataset, make_vocab
+
+        vocab = make_vocab()
+        train_ds = SyntheticDataset(cfg, vocab, num_videos=synthetic_videos)
+        eval_ds = train_ds.eval_view()
+        reference = train_ds.references
+        return vocab, train_ds, eval_ds, reference
+
+    from dlsg_tpu.data.datasets import CaptionDataset, EvalVideoDataset
+    from dlsg_tpu.metrics.scorer import load_references_txt
+    from dlsg_tpu.vocab import Vocabulary
+
+    vocab = Vocabulary.load_reference_pkl(cfg.vocab_pkl_path)
+    train_ds = CaptionDataset(cfg)
+    eval_ds = EvalVideoDataset(cfg)
+    reference = load_references_txt(cfg.test_reference_txt_path)
+    return vocab, train_ds, eval_ds, reference
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0
+    command, rest = argv[0], argv[1:]
+
+    extra = argparse.ArgumentParser(add_help=False)
+    extra.add_argument("--synthetic", action="store_true")
+    extra.add_argument("--synthetic_videos", type=int, default=32)
+    extra.add_argument("--no_debug", action="store_true", help="enable model saving")
+    extra.add_argument("--resume_epoch", type=int, default=None)
+    extra.add_argument("--metric", type=str, default=None, help="eval: best_METEOR|best_CIDEr ckpt")
+    extra_ns, cfg_argv = extra.parse_known_args(rest)
+
+    from dlsg_tpu.config import parse_opt
+    from dlsg_tpu.parallel.mesh import make_mesh
+
+    cfg = parse_opt(cfg_argv)
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    vocab, train_ds, eval_ds, reference = _build_datasets(
+        cfg, extra_ns.synthetic, extra_ns.synthetic_videos
+    )
+
+    if command == "train":
+        from dlsg_tpu.train.trainer import RunGAN
+
+        runner = RunGAN(
+            cfg, vocab, train_ds, eval_ds, reference,
+            mesh=mesh, is_debug=not extra_ns.no_debug, resume_epoch=extra_ns.resume_epoch,
+        )
+        runner.train()
+        return 0
+
+    if command == "train-base":
+        from dlsg_tpu.train.trainer import Run
+
+        runner = Run(
+            cfg, vocab, train_ds, eval_ds, reference,
+            mesh=mesh, is_debug=not extra_ns.no_debug,
+        )
+        runner.train()
+        return 0
+
+    if command == "evaluate":
+        import jax.numpy as jnp
+
+        from dlsg_tpu import checkpoint as ckpt
+        from dlsg_tpu.config import apply_dataset_overrides
+        from dlsg_tpu.data.loader import eval_batches
+        from dlsg_tpu.evaluation.evaluate import evaluate, make_decode_fn
+        from dlsg_tpu.models.generator import CapGnnModel
+
+        cfg = apply_dataset_overrides(cfg)
+        model = CapGnnModel(cfg, len(vocab))
+        B = cfg.test_batch_size
+        frames = jnp.zeros((B, cfg.max_frames, cfg.feature_size))
+        regions = jnp.zeros((B, cfg.max_frames, cfg.num_obj, cfg.region_feature_size))
+        caps = jnp.zeros((B, cfg.max_words), jnp.int32)
+        params = model.init(jax.random.PRNGKey(cfg.seed), frames, regions, caps)["params"]
+        if extra_ns.metric:
+            params = ckpt.restore_model(cfg.checkpoint_dir, extra_ns.metric, params)
+        decode_fn = make_decode_fn(model, cfg)
+        scores, result, t = evaluate(
+            decode_fn,
+            {"params": params},
+            eval_batches(eval_ds, cfg.test_batch_size),
+            vocab,
+            reference,
+        )
+        for k, v in scores.items():
+            print(f"{k}: {100 * v:.6f}")
+        print(f"inference time: {t:.3f}s")
+        return 0
+
+    print(f"unknown command: {command}\n{__doc__}")
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -125,6 +125,13 @@ class SegmentStats:
 
 
 def _segment_stats(hyp: List[str], ref: List[str]) -> SegmentStats:
+    # native fast path (exact+stem only — valid while no paraphrase table is set)
+    if not _PARAPHRASE:
+        from dlsg_tpu import native
+
+        st = native.meteor_stats(" ".join(hyp), " ".join(ref))
+        if st is not None:
+            return SegmentStats(st[0], st[1], st[2], st[3], int(st[4]), int(st[5]))
     matches = _align(hyp, ref)
     wp_num = sum(STAGE_WEIGHTS[s] * _weight(hyp[i]) for i, _, s in matches)
     wr_num = sum(STAGE_WEIGHTS[s] * _weight(ref[j]) for _, j, s in matches)

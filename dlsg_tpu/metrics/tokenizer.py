@@ -35,6 +35,9 @@ def ptb_tokenize_line(line: str, lowercase: bool = True) -> List[str]:
     Covers the phenomena that occur in caption text: punctuation splitting,
     n't / 's / 'll / 're / 've / 'd / 'm clitics, bracket normalization
     (-LRB- etc.), directional quote conversion, ellipses and dashes.
+
+    Uses the native C++ implementation (dlsg_tpu/native) when built; this
+    Python body is the always-available reference behavior.
     """
     s = line.strip()
     if lowercase:
@@ -47,6 +50,13 @@ def ptb_tokenize_line(line: str, lowercase: bool = True) -> List[str]:
         .replace("–", "--").replace("—", "--")
         .replace("…", "...")
     )
+
+    if s.isascii():
+        from dlsg_tpu import native
+
+        toks = native.ptb_tokenize(s, lowercase=False)  # already lowercased
+        if toks is not None:
+            return toks
 
     # brackets -> PTB symbols
     for src, dst in [

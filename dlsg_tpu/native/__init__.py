@@ -1,0 +1,101 @@
+"""Native C++ metric components (ctypes loader).
+
+Builds/loads `libdlsg_native.so` (PTB tokenizer, Porter2 stemmer, METEOR
+aligner — see ptb_meteor.cpp). The Python implementations in dlsg_tpu/metrics
+remain the reference behavior; the native library is a drop-in accelerated
+equivalent, verified identical in tests/test_native.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_HERE, "libdlsg_native.so")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def build(force: bool = False) -> bool:
+    """Compile the shared library with make (g++). Returns success."""
+    if os.path.exists(_LIB_PATH) and not force:
+        return True
+    try:
+        subprocess.run(
+            ["make", "-C", _HERE, "libdlsg_native.so"],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Load (building on demand); returns None when unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH) and not build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.dlsg_ptb_tokenize.restype = ctypes.c_int
+        lib.dlsg_ptb_tokenize.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.dlsg_porter2_stem.restype = ctypes.c_int
+        lib.dlsg_porter2_stem.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.dlsg_meteor_stats.restype = ctypes.c_int
+        lib.dlsg_meteor_stats.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_double),
+        ]
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def ptb_tokenize(line: str, lowercase: bool = True) -> Optional[List[str]]:
+    """Native tokenize; None if the library is unavailable or input non-ASCII."""
+    lib = load()
+    if lib is None or not line.isascii():
+        return None
+    buf = ctypes.create_string_buffer(4 * len(line) + 64)
+    n = lib.dlsg_ptb_tokenize(line.encode(), int(lowercase), buf, len(buf))
+    if n < 0 or n >= len(buf):
+        return None
+    return buf.value.decode().split()
+
+
+def porter2_stem(word: str) -> Optional[str]:
+    lib = load()
+    if lib is None or not word.isascii():
+        return None
+    buf = ctypes.create_string_buffer(2 * len(word) + 16)
+    n = lib.dlsg_porter2_stem(word.encode(), buf, len(buf))
+    if n < 0 or n >= len(buf):
+        return None
+    return buf.value.decode()
+
+
+def meteor_stats(hyp: str, ref: str):
+    """(wp_num, wp_den, wr_num, wr_den, chunks, matches) or None."""
+    lib = load()
+    if lib is None or not (hyp.isascii() and ref.isascii()):
+        return None
+    stats = (ctypes.c_double * 6)()
+    if lib.dlsg_meteor_stats(hyp.encode(), ref.encode(), stats) != 0:
+        return None
+    return tuple(stats)

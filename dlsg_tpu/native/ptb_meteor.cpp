@@ -1,0 +1,527 @@
+// Native metric components: PTB tokenizer + Porter2 stemmer + METEOR aligner.
+//
+// TPU-native equivalents of the reference's two Java components
+// (stanford-corenlp-3.4.1.jar tokenizer and meteor-1.5.jar — see
+// caption-eval/pycocoevalcap/tokenizer/ptbtokenizer.py:18-53 and
+// caption-eval/pycocoevalcap/meteor/meteor.py:12-47). Behavior is kept
+// bit-identical to the pure-Python fallbacks in dlsg_tpu/metrics (tokenizer.py,
+// stemmer.py, meteor.py); the Python side loads this library via ctypes when
+// built and verifies equivalence in tests/test_native.py.
+//
+// Build: `make -C dlsg_tpu/native` (g++ -O2 -shared -fPIC).
+
+#include <algorithm>
+#include <cctype>
+#include <cstring>
+#include <set>
+#include <sstream>
+#include <string>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// PTB tokenizer (ASCII path; Python handles unicode pre-normalization)
+// ---------------------------------------------------------------------------
+
+bool is_word(char c) { return std::isalnum((unsigned char)c) || c == '_'; }
+
+std::string replace_all(std::string s, const std::string& from, const std::string& to) {
+  size_t pos = 0;
+  while ((pos = s.find(from, pos)) != std::string::npos) {
+    s.replace(pos, from.size(), to);
+    pos += to.size();
+  }
+  return s;
+}
+
+std::string ptb_tokenize(const std::string& line, bool lowercase) {
+  std::string s = line;
+  if (lowercase)
+    std::transform(s.begin(), s.end(), s.begin(),
+                   [](unsigned char c) { return std::tolower(c); });
+
+  // brackets -> PTB symbols
+  s = replace_all(s, "(", " -LRB- ");
+  s = replace_all(s, ")", " -RRB- ");
+  s = replace_all(s, "{", " -LCB- ");
+  s = replace_all(s, "}", " -RCB- ");
+  s = replace_all(s, "[", " -LRB- ");
+  s = replace_all(s, "]", " -RRB- ");
+
+  // double quotes: opening after start/space -> ``, else ''
+  {
+    std::string out;
+    for (size_t i = 0; i < s.size(); ++i) {
+      if (s[i] == '"') {
+        bool opening = (i == 0) ||
+                       (!out.empty() && (out.back() == ' ' || out.back() == '\t'));
+        out += opening ? " `` " : " '' ";
+      } else {
+        out += s[i];
+      }
+    }
+    s = out;
+  }
+
+  s = replace_all(s, "...", " ... ");
+  s = replace_all(s, "--", " -- ");
+
+  // split punctuation [,;:@#$%&?!]
+  {
+    std::string out;
+    const std::string punct = ",;:@#$%&?!";
+    for (char c : s) {
+      if (punct.find(c) != std::string::npos) {
+        out += ' ';
+        out += c;
+        out += ' ';
+      } else {
+        out += c;
+      }
+    }
+    s = out;
+  }
+
+  // period before whitespace/eos becomes a token
+  {
+    std::string out;
+    for (size_t i = 0; i < s.size(); ++i) {
+      if (s[i] == '.' && (i + 1 == s.size() || std::isspace((unsigned char)s[i + 1]))) {
+        out += " . ";
+      } else {
+        out += s[i];
+      }
+    }
+    s = out;
+  }
+
+  // clitics: (\w+)n't -> "\1 n't" ; (\w)('s|'re|'ve|'ll|'d|'m) -> split
+  {
+    std::string out;
+    size_t i = 0;
+    // Python's re.sub resumes scanning after each replacement, so a clitic
+    // whose required leading \w char falls inside the previous match does not
+    // split (e.g. "i'd've" -> "i 'd've"). resume = first index eligible to
+    // start a new match.
+    size_t resume = 0;
+    while (i < s.size()) {
+      // n't
+      if (i + 2 < s.size() && s[i] == 'n' && s[i + 1] == '\'' && s[i + 2] == 't' &&
+          i > 0 && is_word(s[i - 1]) && i - 1 >= resume &&
+          (i + 3 == s.size() || !is_word(s[i + 3]))) {
+        out += " n't";
+        i += 3;
+        resume = i;
+        continue;
+      }
+      if (s[i] == '\'' && i > 0 && is_word(s[i - 1]) && i - 1 >= resume &&
+          i + 1 < s.size()) {
+        std::string rest = s.substr(i + 1);
+        auto boundary = [&](size_t len) {
+          return rest.size() == len || !is_word(rest[len]);
+        };
+        if ((rest.rfind("s", 0) == 0 && boundary(1)) ||
+            (rest.rfind("d", 0) == 0 && boundary(1)) ||
+            (rest.rfind("m", 0) == 0 && boundary(1))) {
+          out += " '";
+          out += rest[0];
+          i += 2;
+          resume = i;
+          continue;
+        }
+        if ((rest.rfind("re", 0) == 0 && boundary(2)) ||
+            (rest.rfind("ve", 0) == 0 && boundary(2)) ||
+            (rest.rfind("ll", 0) == 0 && boundary(2))) {
+          out += " '";
+          out += rest.substr(0, 2);
+          i += 3;
+          resume = i;
+          continue;
+        }
+      }
+      // plural possessive: s' followed by space/eos
+      if (s[i] == '\'' && i > 0 && s[i - 1] == 's' &&
+          (i + 1 == s.size() || std::isspace((unsigned char)s[i + 1]))) {
+        out += " ' ";
+        i += 1;
+        continue;
+      }
+      out += s[i];
+      ++i;
+    }
+    s = out;
+  }
+
+  // special contractions
+  struct Pair { const char* a; const char* b; };
+  static const Pair contractions[] = {
+      {"cannot", "can not"}, {"d'ye", "d' ye"}, {"gimme", "gim me"},
+      {"gonna", "gon na"},   {"gotta", "got ta"}, {"lemme", "lem me"},
+      {"wanna", "wan na"},
+  };
+  {
+    std::istringstream iss(s);
+    std::string tok, out;
+    while (iss >> tok) {
+      bool replaced = false;
+      for (const auto& p : contractions) {
+        if (tok == p.a) {
+          out += p.b;
+          out += ' ';
+          replaced = true;
+          break;
+        }
+      }
+      if (!replaced) {
+        out += tok;
+        out += ' ';
+      }
+    }
+    s = out;
+  }
+
+  // normalize whitespace
+  std::istringstream iss(s);
+  std::string tok, out;
+  while (iss >> tok) {
+    if (!out.empty()) out += ' ';
+    out += tok;
+  }
+  return out;
+}
+
+// ---------------------------------------------------------------------------
+// Porter2 (Snowball English) stemmer — mirrors dlsg_tpu/metrics/stemmer.py
+// ---------------------------------------------------------------------------
+
+const std::string VOWELS = "aeiouy";
+bool vowel(char c) { return VOWELS.find(c) != std::string::npos; }
+bool ends_with(const std::string& w, const std::string& suf) {
+  return w.size() >= suf.size() &&
+         w.compare(w.size() - suf.size(), suf.size(), suf) == 0;
+}
+
+void regions(const std::string& w, size_t& r1, size_t& r2) {
+  static const char* prefixes[] = {"gener", "commun", "arsen"};
+  r1 = w.size();
+  for (const char* p : prefixes) {
+    size_t n = std::strlen(p);
+    if (w.compare(0, n, p) == 0) { r1 = n; goto r2calc; }
+  }
+  for (size_t i = 1; i < w.size(); ++i)
+    if (!vowel(w[i]) && vowel(w[i - 1])) { r1 = i + 1; break; }
+r2calc:
+  r2 = w.size();
+  for (size_t i = r1 + 1; i < w.size(); ++i)
+    if (!vowel(w[i]) && vowel(w[i - 1])) { r2 = i + 1; break; }
+}
+
+bool ends_short_syllable(const std::string& w) {
+  if (w.size() == 2) return vowel(w[0]) && !vowel(w[1]);
+  if (w.size() >= 3) {
+    char a = w[w.size() - 3], b = w[w.size() - 2], c = w[w.size() - 1];
+    return vowel(b) && !vowel(c) && c != 'w' && c != 'x' && c != 'Y' && !vowel(a);
+  }
+  return false;
+}
+
+bool is_short(const std::string& w, size_t r1) {
+  return r1 >= w.size() && ends_short_syllable(w);
+}
+
+bool has_vowel(const std::string& w) {
+  for (char c : w) if (vowel(c)) return true;
+  return false;
+}
+
+std::string porter2(std::string w) {
+  std::transform(w.begin(), w.end(), w.begin(),
+                 [](unsigned char c) { return std::tolower(c); });
+  if (w.size() <= 2) return w;
+
+  struct Exc { const char* a; const char* b; };
+  static const Exc exceptions[] = {
+      {"skis", "ski"}, {"skies", "sky"}, {"dying", "die"}, {"lying", "lie"},
+      {"tying", "tie"}, {"idly", "idl"}, {"gently", "gentl"}, {"ugly", "ugli"},
+      {"early", "earli"}, {"only", "onli"}, {"singly", "singl"}, {"sky", "sky"},
+      {"news", "news"}, {"howe", "howe"}, {"atlas", "atlas"},
+      {"cosmos", "cosmos"}, {"bias", "bias"}, {"andes", "andes"},
+  };
+  for (const auto& e : exceptions)
+    if (w == e.a) return e.b;
+
+  if (w[0] == '\'') w = w.substr(1);
+  if (w[0] == 'y') w[0] = 'Y';
+  for (size_t i = 1; i < w.size(); ++i)
+    if (w[i] == 'y' && vowel(w[i - 1])) w[i] = 'Y';
+  size_t r1, r2;
+  regions(w, r1, r2);
+
+  // step 0
+  for (const char* suf : {"'s'", "'s", "'"}) {
+    if (ends_with(w, suf)) { w.resize(w.size() - std::strlen(suf)); break; }
+  }
+
+  // step 1a
+  if (ends_with(w, "sses")) w.resize(w.size() - 2);
+  else if (ends_with(w, "ied") || ends_with(w, "ies"))
+    w.resize(w.size() - (w.size() > 4 ? 2 : 1));
+  else if (ends_with(w, "us") || ends_with(w, "ss")) {}
+  else if (ends_with(w, "s")) {
+    std::string head = w.substr(0, w.size() >= 2 ? w.size() - 2 : 0);
+    if (has_vowel(head)) w.resize(w.size() - 1);
+  }
+
+  for (const char* stop : {"inning", "outing", "canning", "herring", "earring",
+                           "proceed", "exceed", "succeed"}) {
+    if (w == stop) {
+      std::string lo = w;
+      std::transform(lo.begin(), lo.end(), lo.begin(),
+                     [](unsigned char c) { return std::tolower(c); });
+      return lo;
+    }
+  }
+
+  // step 1b
+  bool done_1b = false;
+  for (const char* suf : {"eedly", "eed"}) {
+    if (ends_with(w, suf)) {
+      size_t n = std::strlen(suf);
+      if (w.size() - n >= r1) { w.resize(w.size() - n); w += "ee"; }
+      done_1b = true;
+      break;
+    }
+  }
+  if (!done_1b) {
+    static const char* DOUBLES[] = {"bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt"};
+    for (const char* suf : {"ingly", "edly", "ing", "ed"}) {
+      if (ends_with(w, suf)) {
+        size_t n = std::strlen(suf);
+        std::string stem = w.substr(0, w.size() - n);
+        if (has_vowel(stem)) {
+          w = stem;
+          bool dbl = false;
+          for (const char* d : DOUBLES)
+            if (ends_with(w, d)) { dbl = true; break; }
+          if (ends_with(w, "at") || ends_with(w, "bl") || ends_with(w, "iz")) w += "e";
+          else if (dbl) w.resize(w.size() - 1);
+          else if (is_short(w, r1)) w += "e";
+        }
+        break;
+      }
+    }
+  }
+
+  // step 1c
+  if (w.size() > 2 && (w.back() == 'y' || w.back() == 'Y') &&
+      !vowel(w[w.size() - 2]))
+    w[w.size() - 1] = 'i';
+
+  // step 2
+  struct Map { const char* suf; const char* rep; };
+  static const Map step2[] = {
+      {"ization", "ize"}, {"ational", "ate"}, {"fulness", "ful"},
+      {"ousness", "ous"}, {"iveness", "ive"}, {"tional", "tion"},
+      {"biliti", "ble"},  {"lessli", "less"}, {"entli", "ent"},
+      {"ation", "ate"},   {"alism", "al"},    {"aliti", "al"},
+      {"ousli", "ous"},   {"iviti", "ive"},   {"fulli", "ful"},
+      {"enci", "ence"},   {"anci", "ance"},   {"abli", "able"},
+      {"izer", "ize"},    {"ator", "ate"},    {"alli", "al"},
+      {"bli", "ble"},
+  };
+  bool matched2 = false;
+  for (const auto& m : step2) {
+    if (ends_with(w, m.suf)) {
+      size_t n = std::strlen(m.suf);
+      if (w.size() - n >= r1) { w.resize(w.size() - n); w += m.rep; }
+      matched2 = true;
+      break;
+    }
+  }
+  if (!matched2) {
+    const std::string li = "cdeghkmnrt";
+    if (ends_with(w, "ogi") && w.size() >= 4 && w[w.size() - 4] == 'l' &&
+        w.size() - 3 >= r1)
+      w.resize(w.size() - 1);
+    else if (ends_with(w, "li") && w.size() >= 3 && w.size() - 2 >= r1 &&
+             li.find(w[w.size() - 3]) != std::string::npos)
+      w.resize(w.size() - 2);
+  }
+
+  // step 3
+  static const Map step3[] = {
+      {"ational", "ate"}, {"tional", "tion"}, {"alize", "al"},
+      {"icate", "ic"},    {"iciti", "ic"},    {"ical", "ic"},
+      {"ness", ""},       {"ful", ""},
+  };
+  bool matched3 = false;
+  for (const auto& m : step3) {
+    if (ends_with(w, m.suf)) {
+      size_t n = std::strlen(m.suf);
+      if (w.size() - n >= r1) { w.resize(w.size() - n); w += m.rep; }
+      matched3 = true;
+      break;
+    }
+  }
+  if (!matched3 && ends_with(w, "ative") && w.size() - 5 >= r2)
+    w.resize(w.size() - 5);
+
+  // step 4
+  static const char* step4[] = {
+      "ement", "ance", "ence", "able", "ible", "ment", "ant", "ent",
+      "ism", "ate", "iti", "ous", "ive", "ize", "al", "er", "ic",
+  };
+  bool matched4 = false;
+  for (const char* suf : step4) {
+    if (ends_with(w, suf)) {
+      size_t n = std::strlen(suf);
+      if (w.size() - n >= r2) w.resize(w.size() - n);
+      matched4 = true;
+      break;
+    }
+  }
+  if (!matched4 && ends_with(w, "ion") && w.size() >= 4 && w.size() - 3 >= r2 &&
+      (w[w.size() - 4] == 's' || w[w.size() - 4] == 't'))
+    w.resize(w.size() - 3);
+
+  // step 5
+  if (ends_with(w, "e")) {
+    std::string head = w.substr(0, w.size() - 1);
+    if (w.size() - 1 >= r2 || (w.size() - 1 >= r1 && !ends_short_syllable(head)))
+      w.resize(w.size() - 1);
+  } else if (ends_with(w, "ll") && w.size() - 1 >= r2) {
+    w.resize(w.size() - 1);
+  }
+
+  std::transform(w.begin(), w.end(), w.begin(),
+                 [](unsigned char c) { return std::tolower(c); });
+  return w;
+}
+
+// ---------------------------------------------------------------------------
+// METEOR aligner — mirrors dlsg_tpu/metrics/meteor.py (exact + stem stages;
+// the paraphrase table stays on the Python side)
+// ---------------------------------------------------------------------------
+
+const double STAGE_WEIGHTS[2] = {1.0, 0.6};
+const double DELTA = 0.75;
+
+const std::set<std::string>& function_words() {
+  static std::set<std::string> fw = {
+      "a","an","the","this","that","these","those","some","any","each","every",
+      "no","all","both","half","i","you","he","she","it","we","they","me","him",
+      "her","us","them","my","your","his","its","our","their","is","am","are",
+      "was","were","be","been","being","do","does","did","have","has","had",
+      "will","would","shall","should","may","might","can","could","must","of",
+      "in","on","at","by","for","with","about","against","between","into",
+      "through","during","before","after","above","below","to","from","up",
+      "down","out","off","over","under","again","further","then","once","here",
+      "there","when","where","why","how","and","or","but","if","because","as",
+      "until","while","not","so","than","too","very","s","t","just","don","now"};
+  return fw;
+}
+
+double word_weight(const std::string& w) {
+  return function_words().count(w) ? (1.0 - DELTA) : DELTA;
+}
+
+std::vector<std::string> split_ws(const std::string& s) {
+  std::istringstream iss(s);
+  std::vector<std::string> out;
+  std::string tok;
+  while (iss >> tok) out.push_back(tok);
+  return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Tokenize `line`; writes space-joined tokens into out (cap bytes). Returns
+// the full length needed, or -1 on error.
+int dlsg_ptb_tokenize(const char* line, int lowercase, char* out, int cap) {
+  if (!line || !out) return -1;
+  std::string res = ptb_tokenize(line, lowercase != 0);
+  int n = (int)res.size();
+  if (n + 1 <= cap) std::memcpy(out, res.c_str(), n + 1);
+  return n;
+}
+
+// Stem one word into out (cap bytes). Returns length needed.
+int dlsg_porter2_stem(const char* word, char* out, int cap) {
+  if (!word || !out) return -1;
+  std::string res = porter2(word);
+  int n = (int)res.size();
+  if (n + 1 <= cap) std::memcpy(out, res.c_str(), n + 1);
+  return n;
+}
+
+// METEOR segment statistics for hyp vs one ref (both space-tokenized).
+// stats[6] = {wp_num, wp_den, wr_num, wr_den, chunks, matches}.
+// Greedy stage-priority alignment identical to metrics/meteor.py::_align.
+int dlsg_meteor_stats(const char* hyp_s, const char* ref_s, double* stats) {
+  if (!hyp_s || !ref_s || !stats) return -1;
+  std::vector<std::string> hyp = split_ws(hyp_s), ref = split_ws(ref_s);
+  std::vector<std::string> hyp_stem(hyp.size()), ref_stem(ref.size());
+  for (size_t i = 0; i < hyp.size(); ++i) hyp_stem[i] = porter2(hyp[i]);
+  for (size_t j = 0; j < ref.size(); ++j) ref_stem[j] = porter2(ref[j]);
+
+  std::vector<bool> used_h(hyp.size(), false), used_r(ref.size(), false);
+  struct Match { int i, j, stage; };
+  std::vector<Match> matches;
+  for (int stage = 0; stage < 2; ++stage) {
+    for (size_t i = 0; i < hyp.size(); ++i) {
+      if (used_h[i]) continue;
+      int best_j = -1;
+      long best_dist = 1L << 60;
+      for (size_t j = 0; j < ref.size(); ++j) {
+        if (used_r[j]) continue;
+        // first matching stage must equal `stage` (priority semantics)
+        int first_stage = -1;
+        if (hyp[i] == ref[j]) first_stage = 0;
+        else if (hyp_stem[i] == ref_stem[j]) first_stage = 1;
+        if (first_stage == stage) {
+          long d = std::labs((long)i - (long)j);
+          if (d < best_dist) { best_j = (int)j; best_dist = d; }
+        }
+      }
+      if (best_j >= 0) {
+        used_h[i] = used_r[best_j] = true;
+        matches.push_back({(int)i, best_j, stage});
+      }
+    }
+  }
+  std::sort(matches.begin(), matches.end(),
+            [](const Match& a, const Match& b) {
+              return a.i < b.i || (a.i == b.i && a.j < b.j);
+            });
+
+  double wp_num = 0, wr_num = 0, wp_den = 0, wr_den = 0;
+  for (const auto& m : matches) {
+    wp_num += STAGE_WEIGHTS[m.stage] * word_weight(hyp[m.i]);
+    wr_num += STAGE_WEIGHTS[m.stage] * word_weight(ref[m.j]);
+  }
+  for (const auto& w : hyp) wp_den += word_weight(w);
+  for (const auto& w : ref) wr_den += word_weight(w);
+
+  int chunks = matches.empty() ? 0 : 1;
+  for (size_t k = 1; k < matches.size(); ++k) {
+    if (!(matches[k].i == matches[k - 1].i + 1 &&
+          matches[k].j == matches[k - 1].j + 1))
+      ++chunks;
+  }
+  if (!matches.empty() && chunks == 1 && matches.size() == hyp.size() &&
+      matches.size() == ref.size())
+    chunks = 0;
+
+  stats[0] = wp_num;
+  stats[1] = wp_den;
+  stats[2] = wr_num;
+  stats[3] = wr_den;
+  stats[4] = (double)chunks;
+  stats[5] = (double)matches.size();
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,207 @@
+"""Jitted train steps.
+
+One compiled function per phase, mirroring the reference loop structure
+(`run_gun.py:147-234`) but fully on-device:
+
+- CE step: teacher-forced generator forward + masked CE + Adam update
+  (`run_gun.py:181-234` without the GAN terms; `run_graph.py:109-134`).
+- GAN step: (a) generator forward with outputs detached, (b) `num_D` WGAN-GP
+  discriminator sub-steps as a `lax.scan` carrying the D train state
+  (`run_gun.py:339-383`, reference runs 5 Python-loop substeps), (c) generator
+  update with `cap_loss + lambda * (-D(fake))` (`run_gun.py:210-234`).
+
+Parallelism: steps are jitted with batch inputs sharded over the mesh `data`
+axis and states replicated — XLA inserts the gradient all-reduce (replacing
+DDP's bucketed NCCL allreduce). Logged scalars are global means, matching the
+reference's `reduce_tensor` all-reduce (`run_gun.py:433-437`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dlsg_tpu.config import DLSGConfig
+from dlsg_tpu.ops.losses import (
+    masked_cross_entropy,
+    to_onehot,
+    wgan_d_loss,
+    wgan_g_loss,
+)
+from dlsg_tpu.parallel.mesh import DATA_AXIS
+from dlsg_tpu.train.optim import TrainState
+
+
+def _model_rngs(rng, step):
+    rng = jax.random.fold_in(rng, step)
+    k1, k2 = jax.random.split(rng)
+    return {"dropout": k1, "sample": k2}
+
+
+def make_masks(captions: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """seq mask (captions > 0) and its outer-product attention mask
+    (run_gun.py:164-166)."""
+    seq_mask = (captions > 0).astype(jnp.float32)
+    att_mask = seq_mask[:, :, None] * seq_mask[:, None, :]
+    return seq_mask, att_mask
+
+
+def make_ce_train_step(model, cfg: DLSGConfig, mesh: Optional[Mesh] = None):
+    """CE-only generator step (run_graph.py:109-134 semantics)."""
+
+    def step(state: TrainState, batch: Dict[str, Any], rng, epsilon):
+        def loss_fn(params):
+            out, *_ = model.apply(
+                {"params": params},
+                batch["frames"],
+                batch["regions"],
+                batch["captions"],
+                epsilon,
+                False,
+                rngs=_model_rngs(rng, state.step),
+            )
+            loss = masked_cross_entropy(out, batch["captions"], batch["lengths"])
+            return loss, jnp.argmax(out[0], axis=-1)
+
+        (loss, sample), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads), {"cap_loss": loss, "sample_tokens": sample}
+
+    return _jit_step(step, mesh, donate=(0,))
+
+
+def make_gan_train_step(gen_model, disc_model, cfg: DLSGConfig, mesh: Optional[Mesh] = None):
+    """Full D-LSG adversarial step (run_gun.py:147-234 + train_disc)."""
+    vocab_size = gen_model.vocab_size
+    num_d = cfg.num_D_visual
+
+    def step(
+        gen_state: TrainState,
+        disc_state: TrainState,
+        batch: Dict[str, Any],
+        rng,
+        epsilon,
+        gan_lambda,
+    ):
+        frames, regions = batch["frames"], batch["regions"]
+        captions, lengths = batch["captions"], batch["lengths"]
+        _, att_mask = make_masks(captions)
+        r_caption = to_onehot(captions, vocab_size)
+
+        rng_gfwd, rng_d, rng_g = jax.random.split(jax.random.fold_in(rng, gen_state.step), 3)
+
+        # ---- D phase: generator forward, everything detached (run_gun.py:167-178)
+        f_caption, obj_psl, motion_psl, alpha_all = gen_model.apply(
+            {"params": gen_state.params},
+            frames,
+            regions,
+            captions,
+            epsilon,
+            False,
+            rngs=_model_rngs(rng_gfwd, gen_state.step),
+        )
+        f_caption = jax.lax.stop_gradient(f_caption)
+        obj_psl = jax.lax.stop_gradient(obj_psl)
+        motion_psl = jax.lax.stop_gradient(motion_psl)
+        alpha_all = jax.lax.stop_gradient(alpha_all)
+
+        def d_substep(dstate: TrainState, sub_rng):
+            k_eps, k_drop = jax.random.split(sub_rng)
+            eps_gp = jax.random.uniform(k_eps, (f_caption.shape[0], 1, 1))
+
+            def d_loss_fn(dparams):
+                def d_fn(caps):
+                    return disc_model.apply(
+                        {"params": dparams},
+                        caps,
+                        obj_psl,
+                        motion_psl,
+                        att_mask,
+                        alpha_all,
+                        False,
+                        rngs={"dropout": k_drop},
+                    )
+
+                return wgan_d_loss(d_fn, r_caption, f_caption, eps_gp)
+
+            (loss_d, aux), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+                dstate.params
+            )
+            return dstate.apply_gradients(grads), (loss_d, aux["wasserstein"])
+
+        disc_state, (d_losses, wassersteins) = jax.lax.scan(
+            d_substep, disc_state, jax.random.split(rng_d, num_d)
+        )
+
+        # ---- G phase: fresh forward; proposals/alpha detached before D
+        # (run_gun.py:183,215-218)
+        def g_loss_fn(gparams):
+            out, obj, mot, alpha = gen_model.apply(
+                {"params": gparams},
+                frames,
+                regions,
+                captions,
+                epsilon,
+                False,
+                rngs=_model_rngs(rng_g, gen_state.step),
+            )
+            cap_loss = masked_cross_entropy(out, captions, lengths)
+            f_logit = disc_model.apply(
+                {"params": disc_state.params},
+                out,  # raw logits, exactly like run_gun.py:218 feeds `tokens`
+                jax.lax.stop_gradient(obj),
+                jax.lax.stop_gradient(mot),
+                att_mask,
+                jax.lax.stop_gradient(alpha),
+                False,
+                rngs={"dropout": jax.random.fold_in(rng_g, 1)},
+            )
+            loss_g = wgan_g_loss(f_logit)
+            total = cap_loss + gan_lambda * loss_g
+            # first-sample argmax tokens for the WE/GT progress print
+            # (run_gun.py:250-261)
+            sample = jnp.argmax(out[0], axis=-1)
+            return total, (cap_loss, loss_g, sample)
+
+        (_, (cap_loss, loss_g, sample)), grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(gen_state.params)
+        gen_state = gen_state.apply_gradients(grads)
+
+        metrics = {
+            "cap_loss": cap_loss,
+            "loss_G": loss_g,
+            "loss_D": jnp.mean(d_losses),
+            "wasserstein": jnp.mean(wassersteins),
+            "sample_tokens": sample,
+        }
+        return gen_state, disc_state, metrics
+
+    return _jit_step(step, mesh, donate=(0, 1))
+
+
+def _jit_step(step, mesh: Optional[Mesh], donate=()):
+    """jit a step; when a mesh is given, constrain batch leaves to the data axis."""
+    if mesh is None:
+        return jax.jit(step, donate_argnums=donate)
+
+    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    def wrapper(*args):
+        # batch dicts get their leading axis sharded; everything else replicated
+        def place(x):
+            if isinstance(x, dict):
+                return {
+                    k: jax.lax.with_sharding_constraint(jnp.asarray(v), batch_sh)
+                    for k, v in x.items()
+                }
+            return x
+
+        args = tuple(place(a) for a in args)
+        return step(*args)
+
+    return jax.jit(wrapper, donate_argnums=donate)

@@ -1,0 +1,387 @@
+"""Trainers.
+
+- `RunGAN` — the full D-LSG adversarial trainer (reference `run_gun.py:RunGAN`):
+  dataset hparam overrides, Adam + MultiStepLR for G and D, adaptive GAN lambda,
+  scheduled sampling, mid-epoch eval on a saving schedule, best-metric model
+  saving, full-epoch checkpoints, scalar logging.
+- `Run` — CE-only baseline trainer over CapBaseline1 (reference
+  `run_graph.py:Run`).
+
+Layout differences from the reference (deliberate): the per-batch work is ONE
+jitted device step (train/steps.py); everything in this file is host-side
+orchestration — python loops over epochs/batches, schedule math, logging, and
+checkpoint IO.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dlsg_tpu import checkpoint as ckpt
+from dlsg_tpu.config import DLSGConfig, apply_dataset_overrides
+from dlsg_tpu.data.loader import eval_batches, train_batches
+from dlsg_tpu.evaluation.evaluate import evaluate, make_decode_fn
+from dlsg_tpu.evaluation.results import ResultHandler
+from dlsg_tpu.models.discriminator import DiscV2
+from dlsg_tpu.models.generator import CapBaseline1, CapGnnModel
+from dlsg_tpu.train.gan_lambda import GANLambdaHandler
+from dlsg_tpu.train.optim import TrainState, make_optimizer, multistep_lr
+from dlsg_tpu.train.schedule import saving_schedule, scheduled_sampling_epsilon
+from dlsg_tpu.train.steps import make_ce_train_step, make_gan_train_step
+from dlsg_tpu.utils.logging import MetricsWriter
+from dlsg_tpu.vocab import Vocabulary
+
+G_LR_MILESTONES = (4, 7)  # run_gun.py:94
+D_LR_MILESTONES = (1, 4)  # run_gun.py:99
+LR_GAMMA = 0.5
+
+
+class _TrainerBase:
+    def __init__(
+        self,
+        cfg: DLSGConfig,
+        vocab: Vocabulary,
+        train_dataset,
+        eval_dataset,
+        test_reference: Dict,
+        mesh=None,
+        is_debug: bool = True,
+        resume_epoch: Optional[int] = None,
+    ):
+        cfg = apply_dataset_overrides(cfg)
+        self.cfg = cfg
+        self.vocab = vocab
+        self.train_dataset = train_dataset
+        self.eval_dataset = eval_dataset
+        self.test_reference = test_reference
+        self.mesh = mesh
+        self.is_leader = jax.process_index() == 0
+        self.base_name = cfg.base_name()
+        self.rng = jax.random.PRNGKey(cfg.seed)
+        self.last_epoch = -1
+        self.resume_epoch = resume_epoch
+
+        self.result_handler = ResultHandler(
+            self.base_name,
+            results_root=cfg.result_dir,
+            beam_list=[cfg.beam_size],
+            is_leader=self.is_leader,
+            is_debug=is_debug,
+        )
+        self.writer = MetricsWriter(
+            log_dir=f"{cfg.result_dir}/{self.base_name}/logs", enabled=self.is_leader
+        )
+
+    # ---- shared helpers ----
+    def _sample_batch(self):
+        cfg = self.cfg
+        B = cfg.train_batch_size
+        return {
+            "frames": jnp.zeros((B, cfg.max_frames, cfg.feature_size), jnp.float32),
+            "regions": jnp.zeros(
+                (B, cfg.max_frames, cfg.num_obj, cfg.region_feature_size), jnp.float32
+            ),
+            "captions": jnp.zeros((B, cfg.max_words), jnp.int32),
+            "lengths": jnp.ones((B,), jnp.int32),
+        }
+
+    def _device_batch(self, batch):
+        keep = ("frames", "regions", "captions", "lengths")
+        out = {k: jnp.asarray(batch[k]) for k in keep if k in batch}
+        out["regions"] = out["regions"][:, :, : self.cfg.num_obj, :]
+        out["captions"] = out["captions"][:, : self.cfg.max_words]
+        return out
+
+    def _print(self, *args):
+        if self.is_leader:
+            print(*args)
+
+    def _run_eval(self, variables, epoch: int, global_step: int):
+        cfg = self.cfg
+        t0 = time.time()
+        eval_iter = eval_batches(self.eval_dataset, cfg.test_batch_size)
+        scores, results, infer_time = evaluate(
+            self.decode_fn, variables, eval_iter, self.vocab, self.test_reference
+        )
+        self._print(f"evaluate time: {time.time() - t0:.3f}s (inference {infer_time:.3f}s)")
+        for tag in ("Bleu_4", "METEOR", "CIDEr", "ROUGE_L"):
+            if tag in scores:
+                self.writer.add_scalar(f"results/{tag}", scores[tag], global_step)
+        trigger = self.result_handler.update_result([scores], [results], epoch)
+        return scores, trigger
+
+
+class RunGAN(_TrainerBase):
+    """Full D-LSG adversarial trainer (run_gun.py:19-320)."""
+
+    def __init__(self, cfg, vocab, train_dataset, eval_dataset, test_reference, **kw):
+        super().__init__(cfg, vocab, train_dataset, eval_dataset, test_reference, **kw)
+        cfg = self.cfg
+        V = len(vocab)
+        self.gen_model = CapGnnModel(cfg, V)
+        self.use_visual_gan = cfg.use_visual_gan
+        sample = self._sample_batch()
+        g_vars = self.gen_model.init(
+            jax.random.PRNGKey(cfg.seed), sample["frames"], sample["regions"], sample["captions"]
+        )
+        self.gen_state = TrainState.create(
+            g_vars["params"], make_optimizer(cfg.learning_rate)
+        )
+        if self.use_visual_gan:
+            self.disc_model = DiscV2(cfg, V)
+            onehot = jnp.zeros((cfg.train_batch_size, cfg.max_words, V), jnp.float32)
+            att_mask = jnp.ones(
+                (cfg.train_batch_size, cfg.max_words, cfg.max_words), jnp.float32
+            )
+            alpha = jnp.ones(
+                (cfg.train_batch_size, cfg.max_words, 2 * cfg.num_proposals), jnp.float32
+            )
+            obj = jnp.zeros(
+                (cfg.train_batch_size, cfg.num_proposals, cfg.visual_hidden_size),
+                jnp.float32,
+            )
+            d_vars = self.disc_model.init(
+                jax.random.PRNGKey(cfg.seed + 1), onehot, obj, obj, att_mask, alpha
+            )
+            self.disc_state = TrainState.create(
+                d_vars["params"], make_optimizer(cfg.learning_rate)
+            )
+            self.gan_step = make_gan_train_step(
+                self.gen_model, self.disc_model, cfg, self.mesh
+            )
+        self.ce_step = make_ce_train_step(self.gen_model, cfg, self.mesh)
+        self.decode_fn = make_decode_fn(self.gen_model, cfg)
+
+        # resume (run_gun.py:53-61)
+        self._resume_cap_list = None
+        if self.resume_epoch is not None:
+            restored = ckpt.restore_train(
+                cfg.checkpoint_dir,
+                self.resume_epoch,
+                self.gen_state,
+                self.disc_state if self.use_visual_gan else None,
+            )
+            self.gen_state = restored["gen_state"]
+            if self.use_visual_gan:
+                self.disc_state = restored["disc_state"]
+                self._resume_cap_list = restored.get("cap_list")
+            self.last_epoch = restored["epoch"]
+
+    def train(self, num_shards: int = 1, shard_index: int = 0) -> ResultHandler:
+        cfg = self.cfg
+        total_step = max(1, len(self.train_dataset) // cfg.train_batch_size // num_shards)
+        gan_lambda_handler = GANLambdaHandler(
+            total_step, cfg.lambda_D_visual, cap_list=self._resume_cap_list
+        )
+        loss_count = loss_count_g = loss_count_d = 0.0
+
+        for epoch in range(self.last_epoch + 1, cfg.epoch_num):
+            start_time = time.time()
+            # MultiStepLR (run_gun.py:94-104)
+            g_lr = multistep_lr(cfg.learning_rate, G_LR_MILESTONES, LR_GAMMA, epoch)
+            d_lr = multistep_lr(cfg.learning_rate, D_LR_MILESTONES, LR_GAMMA, epoch)
+            self.gen_state = self.gen_state.set_learning_rate(g_lr)
+            if self.use_visual_gan:
+                self.disc_state = self.disc_state.set_learning_rate(d_lr)
+            self._print(f"Epoch-{epoch} lr: {g_lr}")
+            if self.use_visual_gan:
+                self._print(f"Epoch-{epoch} lr visual GAN: {d_lr}")
+            schedule = saving_schedule(epoch, total_step, cfg.dataset)
+            epsilon = scheduled_sampling_epsilon(cfg.ss_factor, epoch, "msvd")
+
+            batches = train_batches(
+                self.train_dataset,
+                cfg.train_batch_size,
+                seed=cfg.seed,
+                epoch=epoch,
+                shard_index=shard_index,
+                num_shards=num_shards,
+            )
+            for i, host_batch in enumerate(batches, start=1):
+                if cfg.dataset == "msr-vtt":  # per-step variant (run_gun.py:149-151)
+                    epsilon = scheduled_sampling_epsilon(
+                        cfg.ss_factor, epoch, "msr-vtt", i, total_step
+                    )
+                batch = self._device_batch(host_batch)
+                global_step = i + epoch * total_step
+                self.rng, step_rng = jax.random.split(self.rng)
+
+                if self.use_visual_gan:
+                    gan_lambda = gan_lambda_handler.get_current_lambda()
+                    self.gen_state, self.disc_state, metrics = self.gan_step(
+                        self.gen_state,
+                        self.disc_state,
+                        batch,
+                        step_rng,
+                        jnp.float32(epsilon),
+                        jnp.float32(gan_lambda),
+                    )
+                    cap_loss = float(metrics["cap_loss"])
+                    gan_lambda_handler.update_gan_lambda(epoch, i, cap_loss)
+                    loss_count_g += float(metrics["loss_G"])
+                    loss_count_d += float(metrics["loss_D"])
+                    self.writer.add_scalar("Loss/G_v_loss", float(metrics["loss_G"]), global_step)
+                    self.writer.add_scalar("Loss/D_loss_visual", float(metrics["loss_D"]), global_step)
+                    self.writer.add_scalar(
+                        "Loss/wasserstein_visual", float(metrics["wasserstein"]), global_step
+                    )
+                    self.writer.add_scalar("parameter/gan_lambda", gan_lambda, global_step)
+                else:
+                    self.gen_state, metrics = self.ce_step(
+                        self.gen_state, batch, step_rng, jnp.float32(epsilon)
+                    )
+                    cap_loss = float(metrics["cap_loss"])
+                loss_count += cap_loss
+                self.writer.add_scalar("Loss/cap_loss", cap_loss, global_step)
+
+                if i % cfg.log_every == 0:  # run_gun.py:236-261
+                    n = float(cfg.log_every)
+                    msg = (
+                        f"Epoch [{epoch}/{cfg.epoch_num}], Step [{i}/{total_step}], "
+                        f"Loss: {loss_count / n:.4f}, "
+                        f"Perplexity: {np.exp(loss_count / n):.4f}"
+                    )
+                    if self.use_visual_gan:
+                        msg += f", loss_G: {loss_count_g / n:.4f}, loss_D: {loss_count_d / n:.4f}"
+                    loss_count = loss_count_g = loss_count_d = 0.0
+                    self._print(msg)
+                    we = self.vocab.decode_tokens(np.asarray(metrics["sample_tokens"]))
+                    gt = self.vocab.decode_tokens(np.asarray(batch["captions"][0]))
+                    self._print(f"[vid:{int(host_batch['video_ids'][0])}]")
+                    self._print(f"WE: {we}\nGT: {gt}")
+
+                if i in schedule:  # mid-epoch eval (run_gun.py:262-310)
+                    variables = {"params": self.gen_state.params}
+                    scores, trigger = self._run_eval(variables, epoch, global_step)
+                    if trigger and self.is_leader and self.result_handler.save_enabled:
+                        ckpt.save_model(cfg.checkpoint_dir, f"best_{trigger}", self.gen_state.params)
+                    if self.is_leader and self.result_handler.save_enabled:
+                        ckpt.save_train(
+                            cfg.checkpoint_dir,
+                            epoch,
+                            self.gen_state,
+                            self.disc_state if self.use_visual_gan else None,
+                            np.asarray(gan_lambda_handler.cap_list, np.float64),
+                        )
+
+            self.result_handler.print_results()
+            self._print(f"*******One epoch time: {time.time() - start_time:.3f}s*******\n")
+        return self.result_handler
+
+
+class Run(_TrainerBase):
+    """CE-only baseline trainer over CapBaseline1 (run_graph.py:16-200)."""
+
+    def __init__(self, cfg, vocab, train_dataset, eval_dataset, test_reference, **kw):
+        super().__init__(cfg, vocab, train_dataset, eval_dataset, test_reference, **kw)
+        cfg = self.cfg
+        self.gen_model = CapBaseline1(cfg, len(vocab))
+        sample = self._sample_batch()
+        g_vars = self.gen_model.init(
+            jax.random.PRNGKey(cfg.seed), sample["frames"], sample["regions"], sample["captions"]
+        )
+        self.gen_state = TrainState.create(
+            g_vars["params"], make_optimizer(cfg.learning_rate)
+        )
+        self.ce_step = make_ce_train_step(self.gen_model, cfg, self.mesh)
+        self.decode_fn = make_decode_fn(self.gen_model, cfg, beam_size=1)
+
+    def train(self, num_shards: int = 1, shard_index: int = 0) -> ResultHandler:
+        cfg = self.cfg
+        total_step = max(1, len(self.train_dataset) // cfg.train_batch_size // num_shards)
+        loss_count = 0.0
+        for epoch in range(self.last_epoch + 1, cfg.epoch_num):
+            start = time.time()
+            lr = multistep_lr(cfg.learning_rate, G_LR_MILESTONES, LR_GAMMA, epoch)
+            self.gen_state = self.gen_state.set_learning_rate(lr)
+            self._print(f"Epoch-{epoch} lr: {lr}")
+            epsilon = scheduled_sampling_epsilon(cfg.ss_factor, epoch)
+            schedule = saving_schedule(epoch, total_step, cfg.dataset)
+            batches = train_batches(
+                self.train_dataset,
+                cfg.train_batch_size,
+                seed=cfg.seed,
+                epoch=epoch,
+                shard_index=shard_index,
+                num_shards=num_shards,
+            )
+            for i, host_batch in enumerate(batches, start=1):
+                batch = self._device_batch(host_batch)
+                self.rng, step_rng = jax.random.split(self.rng)
+                self.gen_state, metrics = self.ce_step(
+                    self.gen_state, batch, step_rng, jnp.float32(epsilon)
+                )
+                loss_count += float(metrics["cap_loss"])
+                self.writer.add_scalar(
+                    "Loss/cap_loss", float(metrics["cap_loss"]), i + epoch * total_step
+                )
+                if i % cfg.log_every == 0:
+                    n = float(cfg.log_every)
+                    self._print(
+                        f"Epoch [{epoch}/{cfg.epoch_num}], Step [{i}/{total_step}], "
+                        f"Loss: {loss_count / n:.4f}, Perplexity: {np.exp(loss_count / n):.4f}"
+                    )
+                    loss_count = 0.0
+                if i in schedule:
+                    variables = {"params": self.gen_state.params}
+                    self._run_eval(variables, epoch, i + epoch * total_step)
+            self.result_handler.print_results()
+            self._print(f"*******One epoch time: {time.time() - start:.3f}s*******\n")
+        return self.result_handler
+
+
+class RunLegacy(_TrainerBase):
+    """Frames-only legacy trainer over CapModel (reference run.py:16-128)."""
+
+    def __init__(self, cfg, vocab, train_dataset, eval_dataset, test_reference, **kw):
+        super().__init__(cfg, vocab, train_dataset, eval_dataset, test_reference, **kw)
+        cfg = self.cfg
+        from dlsg_tpu.models.generator import CapModel
+        from dlsg_tpu.ops.losses import masked_cross_entropy
+        from dlsg_tpu.train.steps import _model_rngs
+
+        self.gen_model = CapModel(cfg, len(vocab))
+        sample = self._sample_batch()
+        g_vars = self.gen_model.init(
+            jax.random.PRNGKey(cfg.seed), sample["frames"], sample["captions"]
+        )
+        self.gen_state = TrainState.create(
+            g_vars["params"], make_optimizer(cfg.learning_rate)
+        )
+        model = self.gen_model
+
+        def step(state, batch, rng, epsilon):
+            def loss_fn(params):
+                out = model.apply(
+                    {"params": params},
+                    batch["frames"],
+                    batch["captions"],
+                    epsilon,
+                    False,
+                    rngs=_model_rngs(rng, state.step),
+                )
+                loss = masked_cross_entropy(out, batch["captions"], batch["lengths"])
+                return loss, jnp.argmax(out[0], axis=-1)
+
+            (loss, sample_toks), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            return state.apply_gradients(grads), {
+                "cap_loss": loss,
+                "sample_tokens": sample_toks,
+            }
+
+        self.ce_step = jax.jit(step, donate_argnums=0)
+
+        def decode(variables, frames, regions):
+            out = model.apply(variables, frames, None)
+            return out
+
+        self.decode_fn = jax.jit(decode)
+
+    train = Run.train

@@ -1,24 +1,27 @@
 """Test config: force CPU with 8 virtual devices so multi-chip sharding paths
-run without TPU hardware (SURVEY.md §4 'Implication for the rebuild')."""
+run hermetically without TPU hardware (SURVEY.md §4).
+
+The surrounding environment registers a remote-TPU (axon) PJRT plugin from a
+sitecustomize hook at interpreter startup, so env vars alone are too late; but
+JAX backends initialize lazily, so flipping `jax_platforms` to cpu (and setting
+XLA_FLAGS) before the first device use is sufficient — and it makes the suite
+~100x faster than remote-TPU compiles."""
 
 import os
 
-# Force CPU even when the surrounding environment points JAX at a TPU
-# (JAX_PLATFORMS=axon etc.) — unit tests must be hermetic and hardware-free.
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
 
 @pytest.fixture(scope="session")
 def rng():
-    import jax
-
     return jax.random.PRNGKey(0)
 
 

@@ -1,0 +1,48 @@
+"""Checkpoint save/restore roundtrip tests (orbax)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dlsg_tpu import checkpoint as ckpt
+from dlsg_tpu.train.optim import TrainState, make_optimizer
+
+
+def _state(seed=0):
+    params = {
+        "w": jax.random.normal(jax.random.PRNGKey(seed), (4, 4)),
+        "b": jnp.zeros((4,)),
+    }
+    return TrainState.create(params, make_optimizer(1e-3))
+
+
+def test_model_save_restore(tmp_path):
+    s = _state()
+    ckpt.save_model(str(tmp_path), "best_CIDEr", s.params)
+    restored = ckpt.restore_model(str(tmp_path), "best_CIDEr", s.params)
+    np.testing.assert_allclose(np.asarray(restored["w"]), np.asarray(s.params["w"]))
+
+
+def test_train_checkpoint_roundtrip(tmp_path):
+    g = _state(0)
+    d = _state(1)
+    cap_list = np.asarray([3.0, 2.9, 2.8])
+    ckpt.save_train(str(tmp_path), epoch=3, gen_state=g, disc_state=d, cap_list=cap_list)
+    assert ckpt.latest_epoch(str(tmp_path)) == 3
+
+    g2 = _state(7)  # fresh template with different values
+    d2 = _state(8)
+    restored = ckpt.restore_train(str(tmp_path), 3, g2, d2)
+    assert restored["epoch"] == 3
+    np.testing.assert_allclose(
+        np.asarray(restored["gen_state"].params["w"]), np.asarray(g.params["w"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(restored["disc_state"].params["w"]), np.asarray(d.params["w"])
+    )
+    np.testing.assert_allclose(restored["cap_list"], cap_list)
+
+
+def test_latest_epoch_empty(tmp_path):
+    assert ckpt.latest_epoch(str(tmp_path / "nope")) is None

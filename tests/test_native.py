@@ -1,0 +1,91 @@
+"""Native C++ <-> Python equivalence tests (tokenizer, stemmer, METEOR aligner)."""
+
+import pytest
+
+from dlsg_tpu import native
+from dlsg_tpu.metrics import meteor as meteor_mod
+from dlsg_tpu.metrics.stemmer import porter2_stem
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library not built (needs g++)"
+)
+
+SENTENCES = [
+    "A man is playing a guitar on stage.",
+    "don't stop the music",
+    "the man's dog, and the dogs' bones",
+    "hello (world) [again] {ok}",
+    'she said "go home" loudly',
+    "we'll see; they're here: it's fine!",
+    "wait... what -- really?",
+    "cannot gonna wanna gotta lemme",
+    "a 3.5 inch screen costs $4, maybe 5%",
+    "I'd've thought you'm weird",
+    "",
+    "   ",
+    "one-two three--four",
+]
+
+WORDS = (
+    "running plays played playing cats dogs happily generalization national "
+    "rational agreed feed bleed dying lying tying skis skies news atlas "
+    "conditional conditionally hopeful hopefulness activate activity "
+    "sensational sensibility ability possibly communism communities arsenic "
+    "generously nicely jumped jumps jumping y a be ox cry cries tried "
+    "beautiful beautifully housing hoping hopping hopped exceed succeed "
+    "proceeding inning earring entanglement government"
+).split()
+
+
+def _py_tokenize(line):
+    """Pure-Python tokenizer path (bypassing the native fast path)."""
+    from dlsg_tpu.metrics import tokenizer as t
+
+    import re
+
+    s = line.strip().lower()
+    # replicate the module's own pure-python flow by calling through with the
+    # native loader monkeypatched off
+    return s
+
+
+def test_tokenizer_equivalence(monkeypatch):
+    from dlsg_tpu.metrics import tokenizer as t
+
+    for sent in SENTENCES:
+        nat = t.ptb_tokenize_line(sent)  # native path
+        monkeypatch.setattr(native, "ptb_tokenize", lambda s, lowercase=True: None)
+        py = t.ptb_tokenize_line(sent)  # pure python fallback
+        monkeypatch.undo()
+        assert nat == py, (sent, nat, py)
+
+
+def test_stemmer_equivalence():
+    for w in WORDS:
+        assert native.porter2_stem(w) == porter2_stem(w), w
+
+
+def test_meteor_stats_equivalence(monkeypatch):
+    pairs = [
+        ("a man plays guitar", "the man playing a guitar"),
+        ("a dog runs fast", "the dog is running quickly"),
+        ("identical sentence here", "identical sentence here"),
+        ("totally different words", "nothing matches at all"),
+        ("", "a reference"),
+    ]
+    for hyp, ref in pairs:
+        nat = meteor_mod._segment_stats(hyp.split(), ref.split())
+        monkeypatch.setattr(native, "meteor_stats", lambda a, b: None)
+        py = meteor_mod._segment_stats(hyp.split(), ref.split())
+        monkeypatch.undo()
+        for attr in ("wp_num", "wp_den", "wr_num", "wr_den", "chunks", "raw_matches"):
+            assert getattr(nat, attr) == pytest.approx(getattr(py, attr)), (
+                hyp, ref, attr, getattr(nat, attr), getattr(py, attr),
+            )
+
+
+def test_native_meteor_score_sanity():
+    score = meteor_mod.score_pair(
+        "a man is playing a guitar", ["a man is playing a guitar"]
+    )
+    assert score > 0.95

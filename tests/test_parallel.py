@@ -1,0 +1,56 @@
+"""Multi-device SPMD tests over the 8-way virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dlsg_tpu.parallel.mesh import DATA_AXIS, batch_sharding, make_mesh, shard_batch
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape[DATA_AXIS] == 8
+    mesh2 = make_mesh(n_data=4, n_model=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+
+
+def test_shard_batch_places_on_data_axis():
+    mesh = make_mesh()
+    batch = {"x": np.ones((16, 3), np.float32)}
+    sharded = shard_batch(batch, mesh)
+    shards = sharded["x"].addressable_shards
+    assert len(shards) == 8
+    assert shards[0].data.shape == (2, 3)
+
+
+def test_sharded_grad_matches_single_device():
+    """A jitted loss/grad over a batch-sharded input must equal the
+    single-device result — XLA's inserted allreduce replaces DDP."""
+    mesh = make_mesh()
+    w = jnp.arange(12.0).reshape(3, 4) / 10.0
+    x = np.random.default_rng(0).normal(size=(16, 3)).astype(np.float32)
+
+    def loss(w, x):
+        return jnp.mean((x @ w) ** 2)
+
+    expected = jax.grad(loss)(w, jnp.asarray(x))
+    x_sharded = jax.device_put(x, batch_sharding(mesh))
+    got = jax.jit(jax.grad(loss))(w, x_sharded)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-6)
+
+
+def test_dryrun_multichip_entrypoint():
+    """The driver's multi-chip validation path: full GAN step over the mesh."""
+    import importlib.util, os
+
+    spec = importlib.util.spec_from_file_location(
+        "_graft_entry", os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)

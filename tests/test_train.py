@@ -1,0 +1,71 @@
+"""Training subsystem tests: optimizers, schedules, GAN lambda, train steps."""
+
+import numpy as np
+import pytest
+
+from dlsg_tpu.train.gan_lambda import DECREASE, STABLE, GANLambdaHandler
+from dlsg_tpu.train.optim import multistep_lr
+from dlsg_tpu.train.schedule import saving_schedule, scheduled_sampling_epsilon
+
+
+def test_multistep_lr_matches_torch_semantics():
+    """G: milestones [4,7] gamma .5 (run_gun.py:94-95)."""
+    base = 1.6e-4
+    assert multistep_lr(base, (4, 7), 0.5, 0) == base
+    assert multistep_lr(base, (4, 7), 0.5, 3) == base
+    assert multistep_lr(base, (4, 7), 0.5, 4) == base * 0.5
+    assert multistep_lr(base, (4, 7), 0.5, 6) == base * 0.5
+    assert multistep_lr(base, (4, 7), 0.5, 7) == base * 0.25
+    assert multistep_lr(base, (1, 4), 0.5, 1) == base * 0.5  # D milestones
+
+
+def test_scheduled_sampling_floor():
+    # epoch 0: ss/(ss+1) close to 1 -> epsilon near 0.95 for ss=20
+    e0 = scheduled_sampling_epsilon(20, 0)
+    assert 0.9 < e0 < 1.0
+    # very late epochs floor at 0.6 (run_gun.py:136)
+    assert scheduled_sampling_epsilon(20, 200) == 0.6
+    # msr-vtt per-step variant differs across the epoch halves
+    a = scheduled_sampling_epsilon(20, 2, "msr-vtt", step=0, total_steps=100)
+    b = scheduled_sampling_epsilon(20, 2, "msr-vtt", step=99, total_steps=100)
+    assert a > b
+
+
+def test_saving_schedule_density():
+    assert len(saving_schedule(0, 100)) == 2
+    assert len(saving_schedule(5, 100)) == 8
+    assert len(saving_schedule(10, 120, "msr-vtt")) == 12
+    assert len(saving_schedule(10, 120, "msvd")) == 8
+    assert saving_schedule(0, 100)[-1] == 100
+
+
+def test_gan_lambda_stable_then_decrease():
+    h = GANLambdaHandler(total_step=100, gan_lambda=0.01)
+    # stable: flat loss keeps lambda at 0.01
+    for i in range(250):
+        h.update_gan_lambda(0, i, 3.0)
+        lam = h.get_current_lambda()
+    assert h.state == STABLE
+    assert lam == 0.01
+    # rising loss (>4% over window halves) triggers decrease
+    for i in range(100):
+        h.update_gan_lambda(0, i, 3.0)
+    for i in range(101):
+        h.update_gan_lambda(0, i, 3.5)
+    assert h.state == DECREASE
+    lam = h.get_current_lambda()
+    assert lam <= 0.01
+    # schedule bottoms out near low_gan_lambda and recovers to stable
+    lams = [h.get_current_lambda() for _ in range(499)]
+    assert min(lams) >= 0.006 - 1e-9
+    assert min(lams) < 0.0065
+    h.update_gan_lambda(1, 0, 3.5)  # completes the cycle counter
+    assert h.current_schedule_step in (0, 500)
+
+
+def test_gan_lambda_schedule_lengths():
+    h = GANLambdaHandler(100, 0.01)
+    assert len(h.decrease_schedule) == 500
+    assert len(h.increase_schedule) == 500
+    # decrease starts at the top (~start value), sine phase 0.5
+    np.testing.assert_allclose(h.decrease_schedule[0], 0.01, atol=1e-4)
