@@ -98,6 +98,7 @@ class DLSGConfig:
     # ---- TPU-native settings (new; no reference equivalent) ----
     # compute dtype for matmuls/activations; params stay fp32.
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    use_pallas_lstm: bool = False  # fused VMEM-resident LSTM scan kernel (TPU)
     seed: int = 12  # train_debug.py:34-42 seeds everything with 12
     mesh_data_axis: int = -1  # -1 = use all devices for data parallelism
     mesh_model_axis: int = 1
@@ -108,6 +109,13 @@ class DLSGConfig:
     def feature_size(self) -> int:
         """Full per-frame feature dim: appearance + motion (2560 by default)."""
         return self.a_feature_size + self.m_feature_size
+
+    @property
+    def cdtype(self):
+        """Compute dtype for matmuls/activations (params stay fp32)."""
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
     @property
     def train_range(self) -> Tuple[int, int]:

@@ -45,13 +45,14 @@ class DecoderStep(nn.Module):
         cfg = self.cfg
         self.word_embed = nn.Embed(self.vocab_size, cfg.word_size, name="word_embed")
         self.word_drop = nn.Dropout(cfg.dropout)
-        self.query_lstm = LSTMCell(cfg.query_hidden_size, name="query_lstm")
+        self.query_lstm = LSTMCell(cfg.query_hidden_size, dtype=cfg.cdtype, name="query_lstm")
         self.query_ln = nn.LayerNorm(name="query_lstm_layernorm")
         self.query_drop = nn.Dropout(cfg.dropout)
         self.context_att = AttentionShare(
             cfg.visual_hidden_size,
             cfg.query_hidden_size,
             cfg.visual_hidden_size,
+            dtype=cfg.cdtype,
             name="context_att",
         )
         if self.multi_modal:
@@ -59,14 +60,16 @@ class DecoderStep(nn.Module):
                 cfg.visual_hidden_size,
                 cfg.query_hidden_size,
                 cfg.visual_hidden_size,
+                dtype=cfg.cdtype,
                 name="context_att_2",
             )
-        self.lang_lstm = LSTMCell(cfg.decode_hidden_size, name="lang_lstm")
+        self.lang_lstm = LSTMCell(cfg.decode_hidden_size, dtype=cfg.cdtype, name="lang_lstm")
         self.lang_ln = nn.LayerNorm(name="lang_lstm_layernorm")
         self.lang_drop = nn.Dropout(cfg.dropout)
         self.word_restore = nn.Dense(
             self.vocab_size,
             kernel_init=nn.initializers.xavier_normal(),
+            dtype=cfg.cdtype,
             name="word_restore",
         )
 
@@ -96,7 +99,7 @@ class DecoderStep(nn.Module):
         l_h, l_c = self.lang_lstm(lang_input, lang_h, lang_c)
         l_h = self.lang_drop(l_h, deterministic=deterministic)
         decoder_output = jnp.tanh(self.lang_ln(l_h))
-        word_logits = self.word_restore(decoder_output)
+        word_logits = self.word_restore(decoder_output).astype(jnp.float32)
         return word_logits, q_h, q_c, l_h, l_c, alpha
 
     def __call__(self, carry, x, collect_logits: bool = True, deterministic: bool = True):

@@ -143,15 +143,16 @@ class DiscV2(nn.Module):
         K = cfg.num_topk
 
         # Conv1d(V->512, k=1) == Dense on the feature axis (model.py:122,147-148)
-        h = nn.Dense(self.dim, name="conv1d")(inputs)  # [B, T, 512]
+        h = nn.Dense(self.dim, dtype=cfg.cdtype, name="conv1d")(inputs)  # [B, T, 512]
+        h = h.astype(jnp.float32)
         h = ResBlock(self.dim, name="block")(h)
-        h = LSTMSequence(self.dim, name="lstm")(h)
+        h = LSTMSequence(self.dim, dtype=cfg.cdtype, name="lstm")(h)
         h = nn.LayerNorm(name="layer_norm")(h)
         h = nn.Dropout(0.3)(h, deterministic=deterministic)
 
-        att_out = SelfAttention(self.dim, self.dim, self.dim, 0.3, name="att")(
-            h, att_mask, deterministic
-        )
+        att_out = SelfAttention(
+            self.dim, self.dim, self.dim, 0.3, dtype=cfg.cdtype, name="att"
+        )(h, att_mask, deterministic)
         att_out = TanhLayerNorm(name="att_norm")(att_out)
 
         # word-validity mask from row 0 of att_mask (model.py:158-160)

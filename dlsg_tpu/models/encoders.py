@@ -43,14 +43,20 @@ class EncoderVisual(nn.Module):
         x = inputs
         if self.embed:
             x = nn.Dense(
-                H, kernel_init=nn.initializers.xavier_normal(), name="linear_embed"
+                H,
+                kernel_init=nn.initializers.xavier_normal(),
+                dtype=cfg.cdtype,
+                name="linear_embed",
             )(x)
-        x = BiLSTM(H, name="lstm")(x)  # [B, T, 2H]
+        x = BiLSTM(
+            H, dtype=cfg.cdtype, use_pallas=cfg.use_pallas_lstm, name="lstm"
+        )(x)  # [B, T, 2H]
         x = nn.LayerNorm(name="layernorm_lstm")(x)
         x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
         if not self.baseline:
             x = SelfAttention(
-                2 * H, 2 * H, H, cfg.dropout, get_pe=True, name="self_attention"
+                2 * H, 2 * H, H, cfg.dropout, get_pe=True, dtype=cfg.cdtype,
+                name="self_attention",
             )(x, deterministic=deterministic)
             x = nn.LayerNorm(name="layernorm_sa")(x)
         else:
@@ -86,22 +92,34 @@ class EncoderVisualGraphTUN(nn.Module):
 
         visual_embed = visual_feats
         if self.use_embed:
-            visual_embed = nn.Dense(cfg.visual_hidden_size, name="visual_embed")(
-                visual_feats
-            )
+            visual_embed = nn.Dense(
+                cfg.visual_hidden_size, dtype=cfg.cdtype, name="visual_embed"
+            )(visual_feats)
         visual_embed = TanhLayerNorm(name="visual_norm")(visual_embed)
 
         if O < 5:
             obj_visual = visual_embed
         else:
-            obj = nn.Dense(cfg.region_projected_size, name="obj_embed")(obj_feats)
+            obj = nn.Dense(
+                cfg.region_projected_size, dtype=cfg.cdtype, name="obj_embed"
+            )(obj_feats)
             obj = TanhLayerNorm(name="obj_norm")(obj)
             obj = obj.reshape(B, T * O, -1)
             # NB: reference scales by sqrt of the RAW region feature size
             # (layer.py:187 uses obj_size from obj_feats.size()).
-            adj = jnp.einsum("bnd,btd->bnt", obj, visual_embed) / math.sqrt(obj_size)
+            adj = jnp.einsum(
+                "bnd,btd->bnt",
+                obj.astype(cfg.cdtype),
+                visual_embed.astype(cfg.cdtype),
+                preferred_element_type=jnp.float32,
+            ) / math.sqrt(obj_size)
             adj = nn.softmax(adj, axis=1)  # over the T*O object axis
-            obj_agg = jnp.einsum("bnd,bnt->btd", obj, adj)
+            obj_agg = jnp.einsum(
+                "bnd,bnt->btd",
+                obj.astype(cfg.cdtype),
+                adj.astype(cfg.cdtype),
+                preferred_element_type=jnp.float32,
+            )
             obj_visual = obj_agg + visual_embed
             obj_visual = TanhLayerNorm(name="obj_visual_norm")(obj_visual)
 

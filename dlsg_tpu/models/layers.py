@@ -71,20 +71,27 @@ class SelfAttention(nn.Module):
     output_size: int
     dropout: float = 0.2
     get_pe: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, att_mask: Optional[jnp.ndarray] = None, deterministic: bool = True):
         if self.get_pe:
             x = PositionalEncoding(self.attention_size, name="pe")(x, deterministic)
-        K = nn.Dense(self.attention_size, use_bias=False, name="K")(x)
-        Q = nn.Dense(self.attention_size, use_bias=False, name="Q")(x)
-        V = nn.Dense(self.attention_size, use_bias=False, name="V")(x)
-        logits = jnp.einsum("bid,bjd->bij", K, Q) / math.sqrt(self.attention_size)
+        K = nn.Dense(self.attention_size, use_bias=False, dtype=self.dtype, name="K")(x)
+        Q = nn.Dense(self.attention_size, use_bias=False, dtype=self.dtype, name="Q")(x)
+        V = nn.Dense(self.attention_size, use_bias=False, dtype=self.dtype, name="V")(x)
+        logits = jnp.einsum(
+            "bid,bjd->bij", K, Q, preferred_element_type=jnp.float32
+        ) / math.sqrt(self.attention_size)
         if att_mask is not None:
             logits = jnp.where(att_mask > 0, logits, NEG_FILL)
         weight = nn.softmax(logits, axis=-1)
-        attention = jnp.einsum("bij,bjd->bid", weight, V)
-        attention = nn.Dense(self.output_size, use_bias=False, name="out")(attention)
+        attention = jnp.einsum(
+            "bij,bjd->bid", weight.astype(self.dtype), V,
+            preferred_element_type=jnp.float32,
+        )
+        attention = nn.Dense(self.output_size, use_bias=False, dtype=self.dtype, name="out")(attention)
+        attention = attention.astype(jnp.float32)
         attention = nn.Dropout(self.dropout)(attention, deterministic=deterministic)
         return attention
 
@@ -100,16 +107,23 @@ class AttentionShare(nn.Module):
     input_key_size: int
     output_size: int
     dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, meta_state, hidden_previous, deterministic: bool = True):
-        K = nn.Dense(self.output_size, use_bias=False, name="K")(meta_state)  # [B,P,A]
-        q = nn.Dense(self.output_size, use_bias=False, name="Q")(hidden_previous)  # [B,A]
-        V = nn.Dense(self.output_size, use_bias=False, name="V")(meta_state)  # [B,P,A]
-        logits = jnp.einsum("bpa,ba->bp", K, q) / math.sqrt(self.output_size)
+        K = nn.Dense(self.output_size, use_bias=False, dtype=self.dtype, name="K")(meta_state)
+        q = nn.Dense(self.output_size, use_bias=False, dtype=self.dtype, name="Q")(hidden_previous)
+        V = nn.Dense(self.output_size, use_bias=False, dtype=self.dtype, name="V")(meta_state)
+        logits = jnp.einsum(
+            "bpa,ba->bp", K, q, preferred_element_type=jnp.float32
+        ) / math.sqrt(self.output_size)
         alpha = nn.softmax(logits, axis=1)  # softmax over proposals (dim=1 in ref)
-        context = jnp.einsum("bp,bpa->ba", alpha, V)
-        context = nn.Dense(self.output_size, use_bias=False, name="out")(context)
+        context = jnp.einsum(
+            "bp,bpa->ba", alpha.astype(self.dtype), V,
+            preferred_element_type=jnp.float32,
+        )
+        context = nn.Dense(self.output_size, use_bias=False, dtype=self.dtype, name="out")(context)
+        context = context.astype(jnp.float32)
         context = jnp.tanh(context)
         context = nn.LayerNorm(name="ln")(context)
         context = nn.Dropout(self.dropout)(context, deterministic=deterministic)

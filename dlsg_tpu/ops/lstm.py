@@ -13,6 +13,11 @@ TPU design notes:
 - Gates are fused into one ``4H`` projection (one matmul per step instead of 4).
 - Gate order is (i, f, g, o), matching torch's LSTM layout so that reference
   checkpoints could be transliterated if ever needed.
+- ``dtype`` selects the matmul precision (bf16 feeds the MXU at double rate);
+  gate accumulation and cell state stay fp32.
+- `ops/pallas/lstm_scan.py` provides a fused kernel for the sequence scan that
+  keeps W_hh resident in VMEM across timesteps; `LSTMSequence(use_pallas=True)`
+  switches to it (TPU only).
 """
 
 from __future__ import annotations
@@ -25,19 +30,26 @@ from flax import linen as nn
 
 
 def lstm_step(
-    xw: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray, w_hh: jnp.ndarray
+    xw: jnp.ndarray,
+    h: jnp.ndarray,
+    c: jnp.ndarray,
+    w_hh: jnp.ndarray,
+    dtype=jnp.float32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One LSTM step given a pre-projected input.
 
     Args:
       xw: ``x @ W_ih + b`` for this step, shape [B, 4H].
-      h, c: previous hidden / cell state, [B, H].
+      h, c: previous hidden / cell state, [B, H] (fp32).
       w_hh: recurrent weights, [H, 4H].
+      dtype: matmul compute dtype; accumulation is always fp32.
 
     Returns:
-      (h', c')
+      (h', c') in fp32.
     """
-    gates = xw + jnp.dot(h, w_hh, preferred_element_type=jnp.float32)
+    gates = xw.astype(jnp.float32) + jnp.dot(
+        h.astype(dtype), w_hh.astype(dtype), preferred_element_type=jnp.float32
+    )
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
     h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
@@ -51,44 +63,56 @@ class LSTMCell(nn.Module):
     """
 
     features: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, h, c):
-        xw = nn.Dense(4 * self.features, name="ih")(x)
+        xw = nn.Dense(4 * self.features, dtype=self.dtype, name="ih")(x)
         w_hh = self.param(
             "w_hh",
             nn.initializers.orthogonal(),
             (self.features, 4 * self.features),
             jnp.float32,
         )
-        return lstm_step(xw, h, c, w_hh)
+        return lstm_step(xw, h, c, w_hh, self.dtype)
 
 
 class LSTMSequence(nn.Module):
     """Unidirectional LSTM over a full sequence via lax.scan.
 
-    The input projection is hoisted out of the scan (one big matmul).
+    The input projection is hoisted out of the scan (one big matmul). With
+    ``use_pallas`` the scan runs as the fused VMEM-resident Pallas kernel.
     """
 
     features: int
     reverse: bool = False
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):  # x: [B, T, X]
-        xw = nn.Dense(4 * self.features, name="ih")(x)  # [B, T, 4H]
+        xw = nn.Dense(4 * self.features, dtype=self.dtype, name="ih")(x)  # [B,T,4H]
         w_hh = self.param(
             "w_hh",
             nn.initializers.orthogonal(),
             (self.features, 4 * self.features),
             jnp.float32,
         )
+        if self.use_pallas:
+            from dlsg_tpu.ops.pallas.lstm_scan import lstm_scan_pallas
+
+            return lstm_scan_pallas(
+                xw.astype(jnp.float32), w_hh, reverse=self.reverse
+            )
+
         B = x.shape[0]
-        h0 = jnp.zeros((B, self.features), x.dtype)
-        c0 = jnp.zeros((B, self.features), x.dtype)
+        h0 = jnp.zeros((B, self.features), jnp.float32)
+        c0 = jnp.zeros((B, self.features), jnp.float32)
+        dtype = self.dtype
 
         def step(carry, xw_t):
             h, c = carry
-            h, c = lstm_step(xw_t, h, c, w_hh)
+            h, c = lstm_step(xw_t, h, c, w_hh, dtype)
             return (h, c), h
 
         xw_t_major = jnp.swapaxes(xw, 0, 1)  # [T, B, 4H]
@@ -104,9 +128,17 @@ class BiLSTM(nn.Module):
     """
 
     features: int
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
-        fwd = LSTMSequence(self.features, reverse=False, name="fwd")(x)
-        bwd = LSTMSequence(self.features, reverse=True, name="bwd")(x)
+        fwd = LSTMSequence(
+            self.features, reverse=False, dtype=self.dtype,
+            use_pallas=self.use_pallas, name="fwd",
+        )(x)
+        bwd = LSTMSequence(
+            self.features, reverse=True, dtype=self.dtype,
+            use_pallas=self.use_pallas, name="bwd",
+        )(x)
         return jnp.concatenate([fwd, bwd], axis=-1)

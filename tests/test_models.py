@@ -154,3 +154,18 @@ def test_discriminator_grad_wrt_input(tiny_cfg, batch):
     g = jax.grad(lambda x: jnp.sum(mod.apply(v, x, obj, motion, att_mask, alpha)))(onehot)
     assert np.all(np.isfinite(g))
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_bf16_compute_mode(tiny_cfg, batch):
+    """bfloat16 compute: logits stay fp32, values finite, params fp32."""
+    from dlsg_tpu.config import tiny_test_config
+
+    cfg = tiny_test_config(compute_dtype="bfloat16")
+    frames, regions, captions, _ = batch
+    mod = CapGnnModel(cfg, VOCAB)
+    v = mod.init(jax.random.PRNGKey(0), frames, regions, captions)
+    out, obj, mot, alpha = mod.apply(v, frames, regions, captions)
+    assert out.dtype == jnp.float32
+    assert np.all(np.isfinite(out))
+    leaf = jax.tree_util.tree_leaves(v["params"])[0]
+    assert leaf.dtype == jnp.float32
