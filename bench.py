@@ -4,22 +4,26 @@ Prints ONE JSON line: captions/sec of beam-5 decoding at MSR-VTT dimensions
 (the serving metric), with the full D-LSG GAN training step's clips/sec in
 `extra`.
 
-Methodology (robust to remote-TPU tunnels where `block_until_ready` does not
-actually block): each measured quantity is a device-side `lax.fori_loop` of N
-step iterations inside ONE jit whose tiny scalar output is fetched to host
-(the fetch is the only reliable synchronization point). Per-step time is the
-difference between an N_hi-iteration and an N_lo-iteration run divided by
-(N_hi - N_lo), which also cancels the per-call round-trip overhead.
+Methodology (robust to the remote-TPU relay where `block_until_ready` does not
+block and long compiles kill the relay connection):
+- each measured function returns a tiny scalar that CHAINS between calls
+  (call N+1 consumes call N's output), so repeated timed host fetches measure
+  true per-step device time even under async dispatch;
+- the constant fetch round-trip overhead (~30ms on the relay, <1ms locally) is
+  measured with a null jit function and subtracted;
+- only two large compilations are issued (plain decode, plain train step) —
+  loop-wrapped variants exceed the relay's compile window.
 
 The reference never measured throughput (SURVEY.md §6; BASELINE.json
-published = {}), so `vs_baseline` compares against BENCH_prev.json when the
-driver provides one, else 1.0.
+published = {}); `vs_baseline` compares against BENCH_prev.json when present.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
+import sys
 import time
 
 import jax
@@ -31,22 +35,23 @@ def _fetch(x) -> float:
     return float(np.asarray(x))
 
 
-def _timed(fn, arg) -> float:
-    t0 = time.perf_counter()
-    _fetch(fn(arg))
-    return time.perf_counter() - t0
-
-
-def _two_point(fn_lo, fn_hi, n_lo, n_hi, arg, repeats=2):
-    """Best-of-repeats two-point estimate of per-iteration seconds."""
-    _fetch(fn_lo(arg))  # warm both compiles
-    _fetch(fn_hi(arg))
-    per_iter = []
+def _median_call_time(fn, state, repeats):
+    """Median wall time of chained fn calls; returns (seconds, final_state)."""
+    times = []
     for _ in range(repeats):
-        t_lo = _timed(fn_lo, arg)
-        t_hi = _timed(fn_hi, arg)
-        per_iter.append(max((t_hi - t_lo) / (n_hi - n_lo), 1e-9))
-    return min(per_iter)
+        t0 = time.perf_counter()
+        state = fn(state)
+        _fetch(state if not isinstance(state, tuple) else state[-1])
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times), state
+
+
+def _null_overhead(repeats=10):
+    null = jax.jit(lambda x: x + 1.0)
+    s = jnp.float32(0)
+    _fetch(null(s))
+    t, _ = _median_call_time(lambda x: null(x), s, repeats)
+    return t
 
 
 def _example(cfg, vocab_size, batch, seed=0):
@@ -65,7 +70,7 @@ def _example(cfg, vocab_size, batch, seed=0):
     return frames, regions, captions, lengths
 
 
-def bench_decode(cfg, vocab_size, batch, n_lo=1, n_hi=6):
+def bench_decode(cfg, vocab_size, batch, repeats=8):
     from dlsg_tpu.evaluation.evaluate import make_decode_fn
     from dlsg_tpu.models.generator import CapGnnModel
 
@@ -74,24 +79,22 @@ def bench_decode(cfg, vocab_size, batch, n_lo=1, n_hi=6):
     variables = model.init(jax.random.PRNGKey(0), frames, regions, captions)
     decode = make_decode_fn(model, cfg, beam_size=5)
 
-    def make_loop(n):
-        @jax.jit
-        def run(checksum):
-            def body(i, acc):
-                # acc perturbs the input so iterations are truly sequential
-                # (prevents loop-invariant hoisting of the decode)
-                ids = decode(variables, frames + acc * 1e-12, regions)
-                return acc + (jnp.sum(ids) % 97).astype(jnp.float32)
+    @jax.jit
+    def step(c):
+        # the input perturbation chains successive calls (true serialization)
+        ids = decode(variables, frames + c * 1e-12, regions)
+        return (jnp.sum(ids) % 97).astype(jnp.float32)
 
-            return jax.lax.fori_loop(0, n, body, checksum)
-
-        return run
-
-    per_call = _two_point(make_loop(n_lo), make_loop(n_hi), n_lo, n_hi, jnp.float32(0))
+    print("bench: compiling decode...", file=sys.stderr, flush=True)
+    _fetch(step(jnp.float32(0)))
+    print("bench: decode compiled", file=sys.stderr, flush=True)
+    overhead = _null_overhead()
+    t, _ = _median_call_time(lambda c: step(c), jnp.float32(0), repeats)
+    per_call = max(t - overhead, 1e-6)
     return batch / per_call, per_call
 
 
-def bench_train(cfg, vocab_size, batch, n_lo=1, n_hi=6):
+def bench_train(cfg, vocab_size, batch, repeats=6):
     from dlsg_tpu.models.discriminator import DiscV2
     from dlsg_tpu.models.generator import CapGnnModel
     from dlsg_tpu.train.optim import TrainState, make_optimizer
@@ -110,52 +113,47 @@ def bench_train(cfg, vocab_size, batch, n_lo=1, n_hi=6):
     obj = jnp.zeros((batch, cfg.num_proposals, cfg.visual_hidden_size))
     d_vars = disc.init(jax.random.PRNGKey(1), onehot, obj, obj, att, alpha)
 
-    # un-donated step for looping (the loop carries the states)
-    from dlsg_tpu.train.steps import make_gan_train_step as _mk
-
-    step = _mk(gen, disc, cfg)
-
-    def make_loop(n):
-        @jax.jit
-        def run(packed):
-            gstate, dstate = packed
-
-            def body(i, carry):
-                gs, ds = carry
-                gs, ds, m = step(
-                    gs, ds, batch_d, jax.random.fold_in(jax.random.PRNGKey(7), i),
-                    jnp.float32(0.9), jnp.float32(0.01),
-                )
-                return (gs, ds)
-
-            gs, ds = jax.lax.fori_loop(0, n, body, (gstate, dstate))
-            # checksum over every parameter so no part of the update is dead
-            return jax.tree_util.tree_reduce(
-                lambda a, l: a + jnp.sum(jnp.abs(l)) * 1e-12,
-                gs.params,
-                jnp.float32(gs.step),
-            )
-
-        return run
-
+    step = make_gan_train_step(gen, disc, cfg)
     gstate = TrainState.create(g_vars["params"], make_optimizer(1.6e-4))
     dstate = TrainState.create(d_vars["params"], make_optimizer(1.6e-4))
-    per_call = _two_point(
-        make_loop(n_lo), make_loop(n_hi), n_lo, n_hi, (gstate, dstate)
-    )
+    key = jax.random.PRNGKey(7)
+
+    def chained(state):
+        gs, ds = state
+        gs, ds, m = step(gs, ds, batch_d, key, jnp.float32(0.9), jnp.float32(0.01))
+        return (gs, ds, m["cap_loss"])
+
+    print("bench: compiling train step...", file=sys.stderr, flush=True)
+    gs, ds, loss = chained((gstate, dstate))
+    _fetch(loss)
+    print("bench: train step compiled", file=sys.stderr, flush=True)
+    overhead = _null_overhead()
+    t, _ = _median_call_time(lambda s: chained(s[:2]), (gs, ds, loss), repeats)
+    per_call = max(t - overhead, 1e-6)
     return batch / per_call, per_call
 
 
 def main():
     from dlsg_tpu.config import DLSGConfig, apply_dataset_overrides
 
-    cfg = apply_dataset_overrides(DLSGConfig(dataset="msr-vtt"))
+    compute_dtype = os.environ.get("DLSG_BENCH_DTYPE", "float32")
+    cfg = apply_dataset_overrides(
+        DLSGConfig(dataset="msr-vtt", compute_dtype=compute_dtype)
+    )
     on_tpu = jax.devices()[0].platform != "cpu"
     batch = 128 if on_tpu else 8
     vocab_size = 10000 if on_tpu else 512
 
     decode_cps, decode_dt = bench_decode(cfg, vocab_size, batch)
-    train_cps, train_dt = bench_train(cfg, vocab_size, batch)
+    print(f"bench: decode {decode_cps:.1f} captions/s", file=sys.stderr, flush=True)
+    if os.environ.get("DLSG_BENCH_SKIP_TRAIN") == "1":
+        train_cps, train_dt = 0.0, 0.0
+    else:
+        try:
+            train_cps, train_dt = bench_train(cfg, vocab_size, batch)
+        except Exception as e:  # keep the primary metric even if the relay dies
+            print(f"train bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+            train_cps, train_dt = 0.0, 0.0
 
     vs = 1.0
     prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_prev.json")
@@ -178,6 +176,7 @@ def main():
             "train_step_ms": round(train_dt * 1e3, 2),
             "batch": batch,
             "vocab": vocab_size,
+            "compute_dtype": compute_dtype,
             "device": str(jax.devices()[0]),
         },
     }

@@ -88,6 +88,29 @@ class Vocabulary:
             raise TypeError(f"unsupported vocab pickle payload: {type(obj)!r}")
         return obj
 
+    @classmethod
+    def build_from_references(cls, reference_txt_path: str, min_count: int = 1) -> "Vocabulary":
+        """Build a vocabulary from a `vid\\tsentence` reference file.
+
+        Convenience for users without the reference's preprocessed vocab pkls
+        (which were produced by an out-of-repo pipeline). Tokens come from the
+        same PTB-style tokenizer used for scoring.
+        """
+        from collections import Counter
+
+        from dlsg_tpu.metrics.tokenizer import PUNCTUATIONS, ptb_tokenize_line
+
+        punct = set(PUNCTUATIONS)
+        counts: Counter = Counter()
+        with open(reference_txt_path) as f:
+            for line in f:
+                if "\t" not in line:
+                    continue
+                _, sent = line.split("\t", 1)
+                counts.update(t for t in ptb_tokenize_line(sent.strip()) if t not in punct)
+        words = [w for w, c in sorted(counts.items()) if c >= min_count]
+        return cls.from_words(words)
+
     # ---- decoding ----
     def decode_tokens(self, tokens) -> str:
         """Token ids -> caption string, truncating at the first <end>.

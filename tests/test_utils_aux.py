@@ -1,0 +1,55 @@
+"""Aux subsystem tests: plots, profiler, vocab builder, glove import."""
+
+import os
+
+import numpy as np
+
+from dlsg_tpu.utils.plots import plot_alpha_all
+from dlsg_tpu.utils.profiler import Stopwatch
+from dlsg_tpu.vocab import UNK_ID, Vocabulary
+
+
+def test_plot_alpha_all(tmp_path):
+    alpha = np.random.default_rng(0).uniform(size=(2, 9, 12)).astype(np.float32)
+    path = plot_alpha_all(alpha, num_psl=6, title="t", out_dir=str(tmp_path), epoch=1, step=2, vid=3)
+    assert os.path.exists(path)
+    assert path.endswith("3_1_2.png")
+
+
+def test_stopwatch_spans():
+    sw = Stopwatch()
+    with sw.span("a"):
+        pass
+    with sw.span("a"):
+        pass
+    with sw.span("b"):
+        pass
+    assert sw.counts["a"] == 2
+    assert "a: total" in sw.report()
+
+
+def test_vocab_build_from_references(tmp_path):
+    ref = tmp_path / "refs.txt"
+    ref.write_text("1\tA man plays guitar.\n1\tthe man is playing\n2\ta dog runs\n")
+    v = Vocabulary.build_from_references(str(ref))
+    assert v("man") != UNK_ID
+    assert v("guitar") != UNK_ID
+    assert v("zebra") == UNK_ID
+    # tokenizer lowercases and strips the period
+    assert "." not in v.word2idx
+
+
+def test_glove_matrix(tmp_path):
+    glove = tmp_path / "glove.txt"
+    glove.write_text("man 1.0 2.0\ndog 3.0 4.0\n")
+    v = Vocabulary.from_words(["man", "dog", "cat"])
+    from dlsg_tpu.models.glove import load_glove_matrix
+
+    m = load_glove_matrix(v, 2, str(glove), cache_npy_path=str(tmp_path / "c.npy"))
+    assert m.shape == (len(v), 2)
+    np.testing.assert_allclose(m[v("man")], [1.0, 2.0])
+    np.testing.assert_allclose(m[v("dog")], [3.0, 4.0])
+    assert np.any(m[v("cat")] != 0)  # random init for missing
+    # cache hit returns identical matrix
+    m2 = load_glove_matrix(v, 2, str(glove), cache_npy_path=str(tmp_path / "c.npy"))
+    np.testing.assert_allclose(m, m2)
