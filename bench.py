@@ -80,16 +80,20 @@ def bench_decode(cfg, vocab_size, batch, repeats=8):
     decode = make_decode_fn(model, cfg, beam_size=5)
 
     @jax.jit
-    def step(c):
-        # the input perturbation chains successive calls (true serialization)
+    def step(c, variables, frames, regions):
+        # the input perturbation chains successive calls (true serialization).
+        # everything big is an ARGUMENT — closure constants would be embedded
+        # in the HLO and shipped through the remote-compile relay.
         ids = decode(variables, frames + c * 1e-12, regions)
         return (jnp.sum(ids) % 97).astype(jnp.float32)
 
     print("bench: compiling decode...", file=sys.stderr, flush=True)
-    _fetch(step(jnp.float32(0)))
+    _fetch(step(jnp.float32(0), variables, frames, regions))
     print("bench: decode compiled", file=sys.stderr, flush=True)
     overhead = _null_overhead()
-    t, _ = _median_call_time(lambda c: step(c), jnp.float32(0), repeats)
+    t, _ = _median_call_time(
+        lambda c: step(c, variables, frames, regions), jnp.float32(0), repeats
+    )
     per_call = max(t - overhead, 1e-6)
     return batch / per_call, per_call
 
@@ -120,6 +124,7 @@ def bench_train(cfg, vocab_size, batch, repeats=6):
 
     def chained(state):
         gs, ds = state
+        # the step takes the batch as an argument (no giant HLO constants)
         gs, ds, m = step(gs, ds, batch_d, key, jnp.float32(0.9), jnp.float32(0.01))
         return (gs, ds, m["cap_loss"])
 

@@ -31,18 +31,23 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(xw_hbm, u_ref, out_hbm, h_ref, c_ref, xw_buf, out_buf, in_sems, out_sems,
             *, T: int, reverse: bool):
     BT = h_ref.shape[0]
+    # ANY-space operands are whole arrays; this grid step's batch tile starts
+    # at program_id * BT (TPU lowering does not support blocked ANY specs).
+    base = pl.program_id(0) * BT
 
     def t_idx(t):
         return (T - 1 - t) if reverse else t
 
     def in_dma(slot, t):
+        # time-major layout: slicing the leading (untiled) dim keeps the DMA
+        # aligned to the (8,128) tiling of the trailing dims
         return pltpu.make_async_copy(
-            xw_hbm.at[:, t_idx(t)], xw_buf.at[slot], in_sems.at[slot]
+            xw_hbm.at[t_idx(t), pl.ds(base, BT)], xw_buf.at[slot], in_sems.at[slot]
         )
 
     def out_dma(slot, t):
         return pltpu.make_async_copy(
-            out_buf.at[slot], out_hbm.at[:, t_idx(t)], out_sems.at[slot]
+            out_buf.at[slot], out_hbm.at[t_idx(t), pl.ds(base, BT)], out_sems.at[slot]
         )
 
     h_ref[:] = jnp.zeros_like(h_ref)
@@ -118,16 +123,17 @@ def lstm_scan_pallas(
 
     u = w_hh.astype(jnp.bfloat16)
     grid = (Bp // BT,)
+    xw_tm = jnp.swapaxes(xw, 0, 1)  # [T, Bp, 4H] — time-major for aligned DMA
 
     out = pl.pallas_call(
         functools.partial(_kernel, T=T, reverse=reverse),
-        out_shape=jax.ShapeDtypeStruct((Bp, T, H), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, Bp, H), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BT, T, G), lambda b: (b, 0, 0), memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),  # whole array; tiled in-kernel
             pl.BlockSpec((H, G), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BT, T, H), lambda b: (b, 0, 0), memory_space=pl.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((BT, H), jnp.float32),  # h
             pltpu.VMEM((BT, H), jnp.float32),  # c
@@ -140,5 +146,5 @@ def lstm_scan_pallas(
             vmem_limit_bytes=int(1024 * 1024 * 100),
         ),
         interpret=interpret,
-    )(xw, u)
-    return out[:B]
+    )(xw_tm, u)
+    return jnp.swapaxes(out, 0, 1)[:B]

@@ -52,3 +52,37 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """device_put a host batch with the leading axis sharded over `data`."""
     sh = batch_sharding(mesh)
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+# Tensor-parallel rules: param-path substring -> PartitionSpec. The vocab
+# projection (decoder word_restore) is by far the largest matrix
+# (decode_hidden x |V|); column-sharding it over `model` splits both the
+# weight memory and the per-step logits matmul, with XLA inserting the
+# all-gather for the logits. Everything else stays replicated (the reference
+# model is small enough that DP is the dominant axis, matching its DDP-only
+# design — SURVEY.md §2.6).
+TP_RULES = (
+    ("word_restore/kernel", P(None, MODEL_AXIS)),
+    ("word_restore/bias", P(MODEL_AXIS)),
+)
+
+
+def param_sharding_specs(params, rules=TP_RULES):
+    """PartitionSpec pytree for a params tree (default: replicate)."""
+
+    def spec_for(path):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        for sub, spec in rules:
+            if sub in name:
+                return spec
+        return P()
+
+    return jax.tree_util.tree_map_with_path(lambda p, _: spec_for(p), params)
+
+
+def shard_params(params, mesh: Mesh, rules=TP_RULES):
+    """device_put params with TP rules applied (replicated otherwise)."""
+    specs = param_sharding_specs(params, rules)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )

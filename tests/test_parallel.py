@@ -54,3 +54,34 @@ def test_dryrun_multichip_entrypoint():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_tp_param_sharding():
+    """Vocab projection sharded over the model axis; loss matches replicated."""
+    import jax.numpy as jnp
+
+    from dlsg_tpu.config import tiny_test_config
+    from dlsg_tpu.models.generator import CapGnnModel
+    from dlsg_tpu.parallel.mesh import make_mesh, param_sharding_specs, shard_params
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    cfg = tiny_test_config(train_batch_size=4)
+    model = CapGnnModel(cfg, 64)
+    B = 4
+    frames = jnp.ones((B, cfg.max_frames, cfg.feature_size))
+    regions = jnp.ones((B, cfg.max_frames, cfg.num_obj, cfg.region_feature_size))
+    caps = jnp.ones((B, cfg.max_words), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), frames, regions, caps)["params"]
+
+    specs = param_sharding_specs(params)
+    wr = specs["decoder"]["step"]["word_restore"]["kernel"]
+    assert wr == P(None, "model")
+
+    sharded = shard_params(params, mesh)
+    out_repl, *_ = model.apply({"params": params}, frames, regions, caps)
+    with mesh:
+        out_tp, *_ = jax.jit(
+            lambda p: model.apply({"params": p}, frames, regions, caps)
+        )(sharded)
+    np.testing.assert_allclose(np.asarray(out_tp), np.asarray(out_repl), atol=2e-5)
