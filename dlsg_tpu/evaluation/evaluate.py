@@ -50,12 +50,17 @@ def make_decode_fn(model, cfg: DLSGConfig, beam_size: Optional[int] = None) -> C
             variables, obj, mot, method=model.decoder_init_beam_state
         )
         B = feats.shape[0]
+        # expand the loop-invariant proposal tensors to [B*beam] ONCE — doing
+        # it inside the step would copy ~1GB over a 26-step decode
+        feats_x = jnp.repeat(feats, beam, 0)
+        feats2_x = jnp.repeat(feats2, beam, 0)
+        gfeat_x = jnp.repeat(gfeat, beam, 0)
 
         def step_fn(tokens, st):
-            rep = tokens.shape[0] // B
-            f = jnp.repeat(feats, rep, 0)
-            f2 = jnp.repeat(feats2, rep, 0)
-            g = jnp.repeat(gfeat, rep, 0)
+            if tokens.shape[0] == B:  # first step runs un-expanded
+                f, f2, g = feats, feats2, gfeat
+            else:
+                f, f2, g = feats_x, feats2_x, gfeat_x
             return model.apply(
                 variables, tokens, st, f, f2, g, method=model.decoder_beam_step
             )
