@@ -1,0 +1,61 @@
+"""Host->device prefetching.
+
+The reference overlaps host IO with GPU compute via DataLoader worker
+processes + pinned memory (utils/data.py:115-130). The TPU equivalent is a
+small background thread that stages the NEXT batch onto the device (optionally
+sharded over the mesh data axis) while the current step runs — `device_put` is
+async, so the copy overlaps compute; the thread merely keeps the iterator ahead.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import jax
+
+from dlsg_tpu.parallel.mesh import batch_sharding
+
+
+_SENTINEL = object()
+
+
+def prefetch_to_device(
+    batch_iter: Iterator[dict],
+    mesh=None,
+    buffer_size: int = 2,
+    keys=("frames", "regions", "captions", "lengths"),
+) -> Iterator[dict]:
+    """Wrap a host batch iterator; yields device-resident batches one step ahead."""
+    sharding = batch_sharding(mesh) if mesh is not None else None
+
+    q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
+
+    def producer():
+        try:
+            for batch in batch_iter:
+                staged = {
+                    k: (
+                        jax.device_put(v, sharding)
+                        if sharding is not None
+                        else jax.device_put(v)
+                    )
+                    for k, v in batch.items()
+                    if k in keys
+                }
+                # keep host-only fields (video ids, valid masks) unstaged
+                for k, v in batch.items():
+                    if k not in staged:
+                        staged[k] = v
+                q.put(staged)
+        finally:
+            q.put(_SENTINEL)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            break
+        yield item

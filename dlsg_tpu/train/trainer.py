@@ -90,12 +90,30 @@ class _TrainerBase:
             "lengths": jnp.ones((B,), jnp.int32),
         }
 
-    def _device_batch(self, batch):
-        keep = ("frames", "regions", "captions", "lengths")
-        out = {k: jnp.asarray(batch[k]) for k in keep if k in batch}
-        out["regions"] = out["regions"][:, :, : self.cfg.num_obj, :]
-        out["captions"] = out["captions"][:, : self.cfg.max_words]
-        return out
+    def _slice_batch(self, batch):
+        """Host-side trim before staging: regions to num_obj, captions to
+        max_words (run_gun.py:158-159)."""
+        batch = dict(batch)
+        batch["regions"] = batch["regions"][:, :, : self.cfg.num_obj, :]
+        batch["captions"] = batch["captions"][:, : self.cfg.max_words]
+        return batch
+
+    def _batches(self, epoch, num_shards, shard_index):
+        """Sharded, shuffled, device-prefetched training batches."""
+        from dlsg_tpu.data.prefetch import prefetch_to_device
+
+        host = (
+            self._slice_batch(b)
+            for b in train_batches(
+                self.train_dataset,
+                self.cfg.train_batch_size,
+                seed=self.cfg.seed,
+                epoch=epoch,
+                shard_index=shard_index,
+                num_shards=num_shards,
+            )
+        )
+        return prefetch_to_device(host, self.mesh)
 
     def _print(self, *args):
         if self.is_leader:
@@ -194,20 +212,11 @@ class RunGAN(_TrainerBase):
             schedule = saving_schedule(epoch, total_step, cfg.dataset)
             epsilon = scheduled_sampling_epsilon(cfg.ss_factor, epoch, "msvd")
 
-            batches = train_batches(
-                self.train_dataset,
-                cfg.train_batch_size,
-                seed=cfg.seed,
-                epoch=epoch,
-                shard_index=shard_index,
-                num_shards=num_shards,
-            )
-            for i, host_batch in enumerate(batches, start=1):
+            for i, batch in enumerate(self._batches(epoch, num_shards, shard_index), start=1):
                 if cfg.dataset == "msr-vtt":  # per-step variant (run_gun.py:149-151)
                     epsilon = scheduled_sampling_epsilon(
                         cfg.ss_factor, epoch, "msr-vtt", i, total_step
                     )
-                batch = self._device_batch(host_batch)
                 global_step = i + epoch * total_step
                 self.rng, step_rng = jax.random.split(self.rng)
 
@@ -252,7 +261,7 @@ class RunGAN(_TrainerBase):
                     self._print(msg)
                     we = self.vocab.decode_tokens(np.asarray(metrics["sample_tokens"]))
                     gt = self.vocab.decode_tokens(np.asarray(batch["captions"][0]))
-                    self._print(f"[vid:{int(host_batch['video_ids'][0])}]")
+                    self._print(f"[vid:{int(batch['video_ids'][0])}]")
                     self._print(f"WE: {we}\nGT: {gt}")
 
                 if i in schedule:  # mid-epoch eval (run_gun.py:262-310)
@@ -302,16 +311,7 @@ class Run(_TrainerBase):
             self._print(f"Epoch-{epoch} lr: {lr}")
             epsilon = scheduled_sampling_epsilon(cfg.ss_factor, epoch)
             schedule = saving_schedule(epoch, total_step, cfg.dataset)
-            batches = train_batches(
-                self.train_dataset,
-                cfg.train_batch_size,
-                seed=cfg.seed,
-                epoch=epoch,
-                shard_index=shard_index,
-                num_shards=num_shards,
-            )
-            for i, host_batch in enumerate(batches, start=1):
-                batch = self._device_batch(host_batch)
+            for i, batch in enumerate(self._batches(epoch, num_shards, shard_index), start=1):
                 self.rng, step_rng = jax.random.split(self.rng)
                 self.gen_state, metrics = self.ce_step(
                     self.gen_state, batch, step_rng, jnp.float32(epsilon)
