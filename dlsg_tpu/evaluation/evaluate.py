@@ -73,6 +73,7 @@ def make_decode_fn(model, cfg: DLSGConfig, beam_size: Optional[int] = None) -> C
             end_id=END_ID,
             max_steps=cfg.max_words,
             beam_size=beam,
+            normalize=True,  # beam_step returns raw logits
         )
         # top beam == argmax log-prob (beam output is sorted)
         return preds[:, 0, :]

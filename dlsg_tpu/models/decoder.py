@@ -232,8 +232,10 @@ class Decoder(nn.Module):
             feats2,
             deterministic=True,
         )
-        log_probs = jax.nn.log_softmax(logits, axis=-1)
-        return log_probs, {"qh": qh, "qc": qc, "lh": lh, "lc": lc}
+        # raw logits: the beam driver runs top-k first and normalizes only the
+        # selected values (ops/beam_search.py normalize=True), avoiding a full
+        # [G, V] log_softmax materialization per step
+        return logits, {"qh": qh, "qc": qc, "lh": lh, "lc": lc}
 
     def init_beam_state(self, feats, feats2):
         """Initial (state, consts) for beam search (layer.py:450-455)."""

@@ -39,6 +39,7 @@ def beam_search(
     max_steps: int,
     beam_size: int,
     per_node_beam_size: int | None = None,
+    normalize: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run beam search.
 
@@ -46,11 +47,16 @@ def beam_search(
       start_tokens: [B] int32 start token per sequence.
       init_state: pytree with leaves of shape [B, ...].
       step_fn: (tokens [G], state with [G,...] leaves) -> (log_probs [G, V], state).
+        With `normalize=True`, step_fn may return RAW logits instead.
       end_id: index of `<end>`.
       max_steps: total sequence length (reference: max_words=26).
       beam_size: beam width (reference default 5, opt.py:22).
       per_node_beam_size: candidates per beam node (reference sets = beam_size,
         layer.py:346).
+      normalize: when True, top-k runs on the raw logits (ranking is invariant
+        under the logsumexp shift) and only the selected values are normalized
+        — this skips materializing a full [G, V] log_softmax per step, which
+        the reference pays at layer.py:540.
 
     Returns:
       predictions [B, beam, max_steps] (sorted by log-prob, best first),
@@ -63,20 +69,30 @@ def beam_search(
     log_probs0, state = step_fn(start_tokens, init_state)
     V = log_probs0.shape[-1]
     start_top_lp, start_ids = jax.lax.top_k(log_probs0, beam_size)  # [B, beam]
+    if normalize:
+        start_top_lp = start_top_lp - jax.nn.logsumexp(log_probs0, axis=-1)[:, None]
     last_log_probs = start_top_lp
     state = jax.tree_util.tree_map(lambda t: _expand_to_beams(t, beam_size), state)
 
     # one-hot row forcing <end> after a finished beam (allennlp_beamsearch.py:147-150)
     after_end_row = jnp.full((V,), -jnp.inf).at[end_id].set(0.0)
+    # top-k image of after_end_row, used on the normalize path
+    forced_vals = jnp.full((pnbs,), -jnp.inf).at[0].set(0.0)
+    forced_ids = jnp.full((pnbs,), end_id, jnp.int32)
 
     def scan_body(carry, _):
         last_preds, last_lp, state = carry  # [B,beam], [B,beam], [B*beam,...]
         flat_preds = last_preds.reshape(B * beam_size)
         lp, new_state = step_fn(flat_preds, state)  # [B*beam, V]
-        cleaned = jnp.where(
-            (flat_preds == end_id)[:, None], after_end_row[None, :], lp
-        )
-        top_lp, top_ids = jax.lax.top_k(cleaned, pnbs)  # [B*beam, pnbs]
+        ended = (flat_preds == end_id)[:, None]
+        if normalize:
+            vals, top_ids = jax.lax.top_k(lp, pnbs)  # [B*beam, pnbs]
+            vals = vals - jax.nn.logsumexp(lp, axis=-1)[:, None]
+            top_lp = jnp.where(ended, forced_vals[None, :], vals)
+            top_ids = jnp.where(ended, forced_ids[None, :], top_ids)
+        else:
+            cleaned = jnp.where(ended, after_end_row[None, :], lp)
+            top_lp, top_ids = jax.lax.top_k(cleaned, pnbs)  # [B*beam, pnbs]
         summed = top_lp + last_lp.reshape(B * beam_size, 1)
         reshaped = summed.reshape(B, beam_size * pnbs)
         reshaped_ids = top_ids.reshape(B, beam_size * pnbs)

@@ -130,3 +130,25 @@ def test_state_follows_backpointers():
         end_id=END, max_steps=T, beam_size=3,
     )
     assert preds.shape == (B, 3, T)
+
+
+def test_normalize_path_equals_logsoftmax_path():
+    """normalize=True on raw logits must equal normalize=False on log_softmax."""
+    V = 12
+    key = jax.random.PRNGKey(3)
+    logits = jax.random.normal(key, (V, V)) * 2.0
+
+    def raw_step(tokens, state):
+        return logits[tokens], state
+
+    def norm_step(tokens, state):
+        return jax.nn.log_softmax(logits, axis=-1)[tokens], state
+
+    start = jnp.zeros((2,), jnp.int32)
+    state = {"s": jnp.zeros((2, 1))}
+    p1, l1 = beam_search(start, state, raw_step, end_id=END, max_steps=6,
+                         beam_size=3, normalize=True)
+    p2, l2 = beam_search(start, state, norm_step, end_id=END, max_steps=6,
+                         beam_size=3, normalize=False)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
