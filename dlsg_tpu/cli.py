@@ -2,9 +2,10 @@
 
 Replaces the reference's entry scripts with one CLI:
 
-- `python -m dlsg_tpu.cli train`       <- train_debug.py (GAN / D-LSG training)
-- `python -m dlsg_tpu.cli train-base`  <- train.py (CE baseline)
-- `python -m dlsg_tpu.cli evaluate`    <- evaluate.py __main__ (standalone eval)
+- `python -m dlsg_tpu.cli train`        <- train_debug.py (GAN / D-LSG training)
+- `python -m dlsg_tpu.cli train-base`   <- train.py (CE baseline)
+- `python -m dlsg_tpu.cli train-legacy` <- run.py (frames-only CapModel)
+- `python -m dlsg_tpu.cli evaluate`     <- evaluate.py __main__ (standalone eval)
 
 All reference flags (`utils/opt.py`) are accepted. No `torch.distributed.launch`
 wrapper is needed: a single process drives all local TPU chips through the mesh;
@@ -56,7 +57,13 @@ def main(argv=None):
     extra.add_argument("--no_debug", action="store_true", help="enable model saving")
     extra.add_argument("--resume_epoch", type=int, default=None)
     extra.add_argument("--metric", type=str, default=None, help="eval: best_METEOR|best_CIDEr ckpt")
+    extra.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host: jax.distributed.initialize() from cluster env vars",
+    )
     extra_ns, cfg_argv = extra.parse_known_args(rest)
+    if extra_ns.distributed:
+        jax.distributed.initialize()
 
     from dlsg_tpu.config import parse_opt
     from dlsg_tpu.parallel.mesh import make_mesh
@@ -81,6 +88,16 @@ def main(argv=None):
         from dlsg_tpu.train.trainer import Run
 
         runner = Run(
+            cfg, vocab, train_ds, eval_ds, reference,
+            mesh=mesh, is_debug=not extra_ns.no_debug,
+        )
+        runner.train()
+        return 0
+
+    if command == "train-legacy":
+        from dlsg_tpu.train.trainer import RunLegacy
+
+        runner = RunLegacy(
             cfg, vocab, train_ds, eval_ds, reference,
             mesh=mesh, is_debug=not extra_ns.no_debug,
         )
