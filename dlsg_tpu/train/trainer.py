@@ -219,13 +219,16 @@ class RunGAN(_TrainerBase):
                     )
                 global_step = i + epoch * total_step
                 self.rng, step_rng = jax.random.split(self.rng)
+                step_batch = {
+                    k: batch[k] for k in ("frames", "regions", "captions", "lengths")
+                }
 
                 if self.use_visual_gan:
                     gan_lambda = gan_lambda_handler.get_current_lambda()
                     self.gen_state, self.disc_state, metrics = self.gan_step(
                         self.gen_state,
                         self.disc_state,
-                        batch,
+                        step_batch,
                         step_rng,
                         jnp.float32(epsilon),
                         jnp.float32(gan_lambda),
@@ -242,7 +245,7 @@ class RunGAN(_TrainerBase):
                     self.writer.add_scalar("parameter/gan_lambda", gan_lambda, global_step)
                 else:
                     self.gen_state, metrics = self.ce_step(
-                        self.gen_state, batch, step_rng, jnp.float32(epsilon)
+                        self.gen_state, step_batch, step_rng, jnp.float32(epsilon)
                     )
                     cap_loss = float(metrics["cap_loss"])
                 loss_count += cap_loss
@@ -313,8 +316,11 @@ class Run(_TrainerBase):
             schedule = saving_schedule(epoch, total_step, cfg.dataset)
             for i, batch in enumerate(self._batches(epoch, num_shards, shard_index), start=1):
                 self.rng, step_rng = jax.random.split(self.rng)
+                step_batch = {
+                    k: batch[k] for k in ("frames", "regions", "captions", "lengths")
+                }
                 self.gen_state, metrics = self.ce_step(
-                    self.gen_state, batch, step_rng, jnp.float32(epsilon)
+                    self.gen_state, step_batch, step_rng, jnp.float32(epsilon)
                 )
                 loss_count += float(metrics["cap_loss"])
                 self.writer.add_scalar(
