@@ -16,7 +16,7 @@ checkpoint IO.
 from __future__ import annotations
 
 import time
-from typing import Dict, Iterable, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
