@@ -1,0 +1,82 @@
+"""Tests for remaining less-traveled paths: METEOR paraphrase stage, PSLScore v1,
+per-node beam width, CLI evaluate command."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dlsg_tpu.metrics import meteor as meteor_mod
+from dlsg_tpu.metrics.meteor import score_pair, set_paraphrase_table
+
+
+def test_meteor_paraphrase_stage():
+    """Installing a paraphrase table enables the third match stage
+    (the reference's meteor-1.5 paraphrase data, weight 0.6)."""
+    refs = ["a man rides a bike"]
+    without = score_pair("a man rides a bicycle", refs)
+    set_paraphrase_table({"bicycle": ["bike"]})
+    try:
+        with_par = score_pair("a man rides a bicycle", refs)
+    finally:
+        set_paraphrase_table({})
+    assert with_par > without
+
+
+def test_psl_score_v1(tiny_cfg):
+    """PSLScore (pre-softmax -9e15 masking variant, layer.py:605-658)."""
+    from dlsg_tpu.models.discriminator import PSLScore
+
+    cfg = tiny_cfg
+    B, T, P, K = 3, cfg.max_words, cfg.num_proposals, cfg.num_topk
+    rng = jax.random.PRNGKey(0)
+    psl = jax.random.normal(rng, (B, P, 64))
+    alpha = jax.nn.softmax(jax.random.normal(rng, (B, T, P)), axis=-1)
+    att = jax.random.normal(rng, (B, T, 512))
+    seq_mask = jnp.ones((B, T, K))
+    mod = PSLScore(P, K)
+    v = mod.init(rng, psl, alpha, att, seq_mask)
+    out = mod.apply(v, psl, alpha, att, seq_mask)
+    assert out.shape == (B,)
+    assert np.all(np.isfinite(out))
+
+
+def test_beam_per_node_width():
+    """per_node_beam_size > beam_size widens candidate pools (allennlp param)."""
+    from dlsg_tpu.ops.beam_search import beam_search
+
+    V, END = 8, 2
+    logp = jax.nn.log_softmax(jax.random.normal(jax.random.PRNGKey(0), (V, V)), -1)
+
+    def step(tokens, st):
+        return logp[tokens], st
+
+    p1, l1 = beam_search(
+        jnp.zeros((1,), jnp.int32), {"s": jnp.zeros((1, 1))}, step,
+        end_id=END, max_steps=4, beam_size=2, per_node_beam_size=6,
+    )
+    assert p1.shape == (1, 2, 4)
+    # widening per-node candidates can only improve (or tie) the best score
+    p2, l2 = beam_search(
+        jnp.zeros((1,), jnp.int32), {"s": jnp.zeros((1, 1))}, step,
+        end_id=END, max_steps=4, beam_size=2, per_node_beam_size=2,
+    )
+    assert float(l1[0, 0]) >= float(l2[0, 0]) - 1e-6
+
+
+def test_cli_evaluate_synthetic(tmp_path, capsys):
+    """The standalone evaluate command (reference evaluate.py __main__)."""
+    from dlsg_tpu.cli import main
+
+    rc = main([
+        "evaluate", "--synthetic", "--synthetic_videos", "6",
+        "--train_batch_size", "4", "--test_batch_size", "4", "--beam_size", "2",
+        "--visual_hidden_size", "32", "--region_projected_size", "32",
+        "--query_hidden_size", "32", "--word_size", "16",
+        "--a_feature_size", "24", "--m_feature_size", "12",
+        "--max_frames", "6", "--max_words", "8",
+        "--result_dir", str(tmp_path),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "CIDEr" in out and "Bleu_4" in out and "inference time" in out
