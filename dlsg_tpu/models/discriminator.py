@@ -8,11 +8,12 @@ caption is just a [B*T, V] x [V, 512] matmul — expressed as a Dense here so XL
 maps it straight onto the MXU (no layout permutes).
 
 Faithfully-reproduced reference quirk: PSLScore2 ends with `.mean(axis=-1)` on an
-already per-sample score vector (layer.py:714), collapsing the *local batch* to a
-scalar; the two scalar head scores are then re-broadcast through the per-sample
-fusion weights (model.py:163-167). Under DDP each GPU computed this mean over its
-local shard — our data-parallel shards do the same, so multi-device semantics
-match the reference exactly.
+already per-sample score vector (layer.py:714), collapsing the batch to a scalar;
+the two scalar head scores are then re-broadcast through the per-sample fusion
+weights (model.py:163-167). Multi-device note: under jit's global-view semantics
+this mean is over the GLOBAL batch (XLA inserts the collective), whereas the
+reference's DDP computed it per-GPU shard — a deliberate, strictly-more-consistent
+deviation (per-shard means made the D score depend on device count).
 """
 
 from __future__ import annotations

@@ -24,11 +24,24 @@ def multistep_lr(
     return base_lr * (gamma**n)
 
 
-def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
-    """Adam with the reference betas (run_gun.py:91,100), lr injectable."""
-    return optax.inject_hyperparams(optax.adam)(
-        learning_rate=learning_rate, b1=0.5, b2=0.9
-    )
+def make_optimizer(
+    learning_rate: float, grad_clip: float = 0.0
+) -> optax.GradientTransformation:
+    """Adam with the reference betas (run_gun.py:91,100), lr injectable.
+
+    grad_clip > 0 adds elementwise gradient clamping to [-c, c] — the
+    reference defines this (`clip_gradient`, utils/utils.py:46-50, flag
+    grad_clip=10) but leaves every call site commented out, so it defaults
+    off here too.
+    """
+
+    def adam_with_clip(learning_rate):
+        tx = optax.adam(learning_rate=learning_rate, b1=0.5, b2=0.9)
+        if grad_clip > 0:
+            return optax.chain(optax.clip(grad_clip), tx)
+        return tx
+
+    return optax.inject_hyperparams(adam_with_clip)(learning_rate=learning_rate)
 
 
 class TrainState(struct.PyTreeNode):
