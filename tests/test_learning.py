@@ -24,8 +24,10 @@ from dlsg_tpu.train.steps import make_gan_train_step, make_masks
 
 
 @pytest.mark.slow
-def test_gan_training_fits_synthetic_data():
+@pytest.mark.parametrize("compute_dtype", ["float32", "bfloat16"])
+def test_gan_training_fits_synthetic_data(compute_dtype):
     cfg = tiny_test_config(
+        compute_dtype=compute_dtype,
         train_batch_size=8,
         test_batch_size=8,
         beam_size=2,
