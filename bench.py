@@ -101,6 +101,7 @@ def bench_decode(cfg, vocab_size, batch, repeats=8):
 def bench_train(cfg, vocab_size, batch, repeats=6):
     from dlsg_tpu.models.discriminator import DiscV2
     from dlsg_tpu.models.generator import CapGnnModel
+    from dlsg_tpu.train.gan_lambda import init_lambda_state
     from dlsg_tpu.train.optim import TrainState, make_optimizer
     from dlsg_tpu.train.steps import make_gan_train_step, make_masks
 
@@ -120,20 +121,21 @@ def bench_train(cfg, vocab_size, batch, repeats=6):
     step = make_gan_train_step(gen, disc, cfg)
     gstate = TrainState.create(g_vars["params"], make_optimizer(1.6e-4))
     dstate = TrainState.create(d_vars["params"], make_optimizer(1.6e-4))
+    lstate0 = init_lambda_state(0.01)
     key = jax.random.PRNGKey(7)
 
     def chained(state):
-        gs, ds = state
+        gs, ds, ls = state
         # the step takes the batch as an argument (no giant HLO constants)
-        gs, ds, m = step(gs, ds, batch_d, key, jnp.float32(0.9), jnp.float32(0.01))
-        return (gs, ds, m["cap_loss"])
+        gs, ds, ls, m = step(gs, ds, ls, batch_d, key, jnp.float32(0.9))
+        return (gs, ds, ls, m["cap_loss"])
 
     print("bench: compiling train step...", file=sys.stderr, flush=True)
-    gs, ds, loss = chained((gstate, dstate))
+    gs, ds, ls, loss = chained((gstate, dstate, lstate0))
     _fetch(loss)
     print("bench: train step compiled", file=sys.stderr, flush=True)
     overhead = _null_overhead()
-    t, _ = _median_call_time(lambda s: chained(s[:2]), (gs, ds, loss), repeats)
+    t, _ = _median_call_time(lambda s: chained(s[:3]), (gs, ds, ls, loss), repeats)
     per_call = max(t - overhead, 1e-6)
     return batch / per_call, per_call
 

@@ -40,9 +40,14 @@ def save_train(
     epoch: int,
     gen_state,
     disc_state=None,
-    cap_list=None,
+    lambda_state=None,
 ) -> str:
-    """Full training checkpoint, one dir per epoch (run_gun.py:302-310)."""
+    """Full training checkpoint, one dir per epoch (run_gun.py:302-310).
+
+    `lambda_state` is the on-device GAN-lambda machine
+    (`train.gan_lambda.init_lambda_state`) — the reference saves the raw
+    cap_list for the same resume purpose.
+    """
     # opt states are stored as flat leaf lists (their pytree structure —
     # optax NamedTuples — is re-imposed from a fresh state at restore time)
     payload: Dict[str, Any] = {
@@ -55,19 +60,19 @@ def save_train(
         payload["disc_opt_leaves"] = jax.device_get(
             jax.tree_util.tree_leaves(disc_state.opt_state)
         )
-    if cap_list is not None:
-        payload["cap_list"] = np.asarray(cap_list, np.float64)
+    if lambda_state is not None:
+        payload["gan_lambda_state"] = jax.device_get(lambda_state)
     path = os.path.abspath(os.path.join(ckpt_dir, f"epoch_{epoch}"))
     _ckptr().save(path, payload, force=True)
     return path
 
 
 def restore_train(
-    ckpt_dir: str, epoch: int, gen_state, disc_state=None
+    ckpt_dir: str, epoch: int, gen_state, disc_state=None, lambda_state=None
 ) -> Dict[str, Any]:
     """Restore a full checkpoint into fresh states.
 
-    Returns {'epoch', 'gen_state', 'disc_state', 'cap_list'}.
+    Returns {'epoch', 'gen_state', 'disc_state', 'gan_lambda_state'}.
     """
     path = os.path.abspath(os.path.join(ckpt_dir, f"epoch_{epoch}"))
     restored = _ckptr().restore(path)
@@ -82,8 +87,16 @@ def restore_train(
             params=restored["gen_params"],
             opt_state=refit_opt(gen_state, restored["gen_opt_leaves"]),
         ),
-        "cap_list": restored.get("cap_list"),
+        "gan_lambda_state": None,
     }
+    if restored.get("gan_lambda_state") is not None and lambda_state is not None:
+        import jax.numpy as jnp
+
+        out["gan_lambda_state"] = jax.tree_util.tree_map(
+            lambda tpl, arr: jnp.asarray(arr, tpl.dtype),
+            lambda_state,
+            restored["gan_lambda_state"],
+        )
     if disc_state is not None:
         out["disc_state"] = disc_state.replace(
             params=restored["disc_params"],

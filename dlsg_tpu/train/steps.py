@@ -33,6 +33,7 @@ from dlsg_tpu.ops.losses import (
     wgan_g_loss,
 )
 from dlsg_tpu.parallel.mesh import DATA_AXIS
+from dlsg_tpu.train.gan_lambda import lambda_update
 from dlsg_tpu.train.optim import TrainState
 
 
@@ -74,17 +75,26 @@ def make_ce_train_step(model, cfg: DLSGConfig, mesh: Optional[Mesh] = None):
 
 
 def make_gan_train_step(gen_model, disc_model, cfg: DLSGConfig, mesh: Optional[Mesh] = None):
-    """Full D-LSG adversarial step (run_gun.py:147-234 + train_disc)."""
+    """Full D-LSG adversarial step (run_gun.py:147-234 + train_disc).
+
+    The adaptive GAN lambda is part of the step: `lstate` (see
+    `gan_lambda.init_lambda_state`) is updated with THIS step's cap_loss and the
+    resulting lambda weights THIS step's generator gradient — the exact
+    reference ordering (run_gun.py:210-231). The G phase runs ONE forward via
+    `jax.vjp`; the gradient of `cap_loss + lambda * loss_G` is the cotangent
+    pullback `(1.0, lambda)` (lambda carries no gradient in the reference
+    either — it is a python scalar there).
+    """
     vocab_size = gen_model.vocab_size
     num_d = cfg.num_D_visual
 
     def step(
         gen_state: TrainState,
         disc_state: TrainState,
+        lstate: Dict[str, Any],
         batch: Dict[str, Any],
         rng,
         epsilon,
-        gan_lambda,
     ):
         frames, regions = batch["frames"], batch["regions"]
         captions, lengths = batch["captions"], batch["lengths"]
@@ -138,7 +148,7 @@ def make_gan_train_step(gen_model, disc_model, cfg: DLSGConfig, mesh: Optional[M
 
         # ---- G phase: fresh forward; proposals/alpha detached before D
         # (run_gun.py:183,215-218)
-        def g_loss_fn(gparams):
+        def g_losses_fn(gparams):
             out, obj, mot, alpha = gen_model.apply(
                 {"params": gparams},
                 frames,
@@ -160,15 +170,18 @@ def make_gan_train_step(gen_model, disc_model, cfg: DLSGConfig, mesh: Optional[M
                 rngs={"dropout": jax.random.fold_in(rng_g, 1)},
             )
             loss_g = wgan_g_loss(f_logit)
-            total = cap_loss + gan_lambda * loss_g
             # first-sample argmax tokens for the WE/GT progress print
             # (run_gun.py:250-261)
             sample = jnp.argmax(out[0], axis=-1)
-            return total, (cap_loss, loss_g, sample)
+            return (cap_loss, loss_g), sample
 
-        (_, (cap_loss, loss_g, sample)), grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True
-        )(gen_state.params)
+        (cap_loss, loss_g), g_vjp, sample = jax.vjp(
+            g_losses_fn, gen_state.params, has_aux=True
+        )
+        # step-N lambda from step-N cap_loss (run_gun.py:210-231), then the
+        # pullback of total = cap_loss + lambda * loss_G
+        lstate, gan_lambda = lambda_update(lstate, cap_loss)
+        (grads,) = g_vjp((jnp.float32(1.0), gan_lambda))
         gen_state = gen_state.apply_gradients(grads)
 
         metrics = {
@@ -176,11 +189,12 @@ def make_gan_train_step(gen_model, disc_model, cfg: DLSGConfig, mesh: Optional[M
             "loss_G": loss_g,
             "loss_D": jnp.mean(d_losses),
             "wasserstein": jnp.mean(wassersteins),
+            "gan_lambda": gan_lambda,
             "sample_tokens": sample,
         }
-        return gen_state, disc_state, metrics
+        return gen_state, disc_state, lstate, metrics
 
-    return _jit_step(step, mesh, donate=(0, 1))
+    return _jit_step(step, mesh, donate=(0, 1, 2))
 
 
 def _jit_step(step, mesh: Optional[Mesh], donate=()):
@@ -192,9 +206,10 @@ def _jit_step(step, mesh: Optional[Mesh], donate=()):
     repl = NamedSharding(mesh, P())
 
     def wrapper(*args):
-        # batch dicts get their leading axis sharded; everything else replicated
+        # the batch dict (recognized by its "frames" key) gets its leading axis
+        # sharded; everything else (states, lambda state, rng) stays replicated
         def place(x):
-            if isinstance(x, dict):
+            if isinstance(x, dict) and "frames" in x:
                 return {
                     k: jax.lax.with_sharding_constraint(jnp.asarray(v), batch_sh)
                     for k, v in x.items()

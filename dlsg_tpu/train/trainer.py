@@ -29,7 +29,7 @@ from dlsg_tpu.evaluation.evaluate import evaluate, make_decode_fn
 from dlsg_tpu.evaluation.results import ResultHandler
 from dlsg_tpu.models.discriminator import DiscV2
 from dlsg_tpu.models.generator import CapBaseline1, CapGnnModel
-from dlsg_tpu.train.gan_lambda import GANLambdaHandler
+from dlsg_tpu.train.gan_lambda import init_lambda_state
 from dlsg_tpu.train.optim import TrainState, make_optimizer, multistep_lr
 from dlsg_tpu.train.schedule import saving_schedule, scheduled_sampling_epsilon
 from dlsg_tpu.train.steps import make_ce_train_step, make_gan_train_step
@@ -175,27 +175,28 @@ class RunGAN(_TrainerBase):
         self.ce_step = make_ce_train_step(self.gen_model, cfg, self.mesh)
         self.decode_fn = make_decode_fn(self.gen_model, cfg)
 
+        # device-side adaptive lambda state (exact run_gun.py:210-231 ordering)
+        self.lambda_state = init_lambda_state(cfg.lambda_D_visual)
+
         # resume (run_gun.py:53-61)
-        self._resume_cap_list = None
         if self.resume_epoch is not None:
             restored = ckpt.restore_train(
                 cfg.checkpoint_dir,
                 self.resume_epoch,
                 self.gen_state,
                 self.disc_state if self.use_visual_gan else None,
+                lambda_state=self.lambda_state,
             )
             self.gen_state = restored["gen_state"]
             if self.use_visual_gan:
                 self.disc_state = restored["disc_state"]
-                self._resume_cap_list = restored.get("cap_list")
+                if restored.get("gan_lambda_state") is not None:
+                    self.lambda_state = restored["gan_lambda_state"]
             self.last_epoch = restored["epoch"]
 
     def train(self, num_shards: int = 1, shard_index: int = 0) -> ResultHandler:
         cfg = self.cfg
         total_step = max(1, len(self.train_dataset) // cfg.train_batch_size // num_shards)
-        gan_lambda_handler = GANLambdaHandler(
-            total_step, cfg.lambda_D_visual, cap_list=self._resume_cap_list
-        )
         loss_count = loss_count_g = loss_count_d = 0.0
 
         for epoch in range(self.last_epoch + 1, cfg.epoch_num):
@@ -224,17 +225,16 @@ class RunGAN(_TrainerBase):
                 }
 
                 if self.use_visual_gan:
-                    gan_lambda = gan_lambda_handler.get_current_lambda()
-                    self.gen_state, self.disc_state, metrics = self.gan_step(
+                    self.gen_state, self.disc_state, self.lambda_state, metrics = self.gan_step(
                         self.gen_state,
                         self.disc_state,
+                        self.lambda_state,
                         step_batch,
                         step_rng,
                         jnp.float32(epsilon),
-                        jnp.float32(gan_lambda),
                     )
                     cap_loss = float(metrics["cap_loss"])
-                    gan_lambda_handler.update_gan_lambda(epoch, i, cap_loss)
+                    gan_lambda = float(metrics["gan_lambda"])
                     loss_count_g += float(metrics["loss_G"])
                     loss_count_d += float(metrics["loss_D"])
                     self.writer.add_scalar("Loss/G_v_loss", float(metrics["loss_G"]), global_step)
@@ -278,7 +278,7 @@ class RunGAN(_TrainerBase):
                             epoch,
                             self.gen_state,
                             self.disc_state if self.use_visual_gan else None,
-                            np.asarray(gan_lambda_handler.cap_list, np.float64),
+                            lambda_state=self.lambda_state,
                         )
 
             self.result_handler.print_results()

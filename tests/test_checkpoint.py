@@ -25,15 +25,19 @@ def test_model_save_restore(tmp_path):
 
 
 def test_train_checkpoint_roundtrip(tmp_path):
+    from dlsg_tpu.train.gan_lambda import init_lambda_state, lambda_update
+
     g = _state(0)
     d = _state(1)
-    cap_list = np.asarray([3.0, 2.9, 2.8])
-    ckpt.save_train(str(tmp_path), epoch=3, gen_state=g, disc_state=d, cap_list=cap_list)
+    lstate = init_lambda_state(0.01)
+    for loss in (3.0, 2.9, 2.8):
+        lstate, _ = lambda_update(lstate, jnp.float32(loss))
+    ckpt.save_train(str(tmp_path), epoch=3, gen_state=g, disc_state=d, lambda_state=lstate)
     assert ckpt.latest_epoch(str(tmp_path)) == 3
 
     g2 = _state(7)  # fresh template with different values
     d2 = _state(8)
-    restored = ckpt.restore_train(str(tmp_path), 3, g2, d2)
+    restored = ckpt.restore_train(str(tmp_path), 3, g2, d2, lambda_state=init_lambda_state(0.01))
     assert restored["epoch"] == 3
     np.testing.assert_allclose(
         np.asarray(restored["gen_state"].params["w"]), np.asarray(g.params["w"])
@@ -41,7 +45,9 @@ def test_train_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(restored["disc_state"].params["w"]), np.asarray(d.params["w"])
     )
-    np.testing.assert_allclose(restored["cap_list"], cap_list)
+    rl = restored["gan_lambda_state"]
+    assert int(rl["count"]) == 3
+    np.testing.assert_allclose(np.asarray(rl["window"][:3]), [3.0, 2.9, 2.8])
 
 
 def test_latest_epoch_empty(tmp_path):

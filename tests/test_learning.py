@@ -19,6 +19,7 @@ from dlsg_tpu.evaluation.evaluate import evaluate, make_decode_fn
 from dlsg_tpu.metrics.scorer import COCOScorer
 from dlsg_tpu.models.discriminator import DiscV2
 from dlsg_tpu.models.generator import CapGnnModel
+from dlsg_tpu.train.gan_lambda import init_lambda_state
 from dlsg_tpu.train.optim import TrainState, make_optimizer
 from dlsg_tpu.train.steps import make_gan_train_step, make_masks
 
@@ -57,6 +58,7 @@ def test_gan_training_fits_synthetic_data(compute_dtype):
     gstate = TrainState.create(g_vars["params"], make_optimizer(3e-3))
     dstate = TrainState.create(d_vars["params"], make_optimizer(3e-4))
     step = make_gan_train_step(gen, disc, cfg)
+    lstate = init_lambda_state(0.002)
 
     decode_fn = make_decode_fn(gen, cfg, beam_size=cfg.beam_size)
 
@@ -83,8 +85,8 @@ def test_gan_training_fits_synthetic_data(compute_dtype):
                 if k in ("frames", "regions", "captions", "lengths")
             }
             rng, k = jax.random.split(rng)
-            gstate, dstate, m = step(
-                gstate, dstate, dev, k, jnp.float32(1.0), jnp.float32(0.002)
+            gstate, dstate, lstate, m = step(
+                gstate, dstate, lstate, dev, k, jnp.float32(1.0)
             )
             losses.append(float(m["cap_loss"]))
 

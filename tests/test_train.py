@@ -63,6 +63,43 @@ def test_gan_lambda_stable_then_decrease():
     assert h.current_schedule_step in (0, 500)
 
 
+def test_device_lambda_matches_host_exactly():
+    """The on-device state machine (used inside the jitted GAN step) must track
+    the host GANLambdaHandler bit-for-bit through a full stable->decrease->
+    stable cycle, when driven in the reference's update-then-get order."""
+    import jax
+    import jax.numpy as jnp
+
+    from dlsg_tpu.train.gan_lambda import init_lambda_state, lambda_update
+
+    h = GANLambdaHandler(total_step=100, gan_lambda=0.01)
+    lstate = init_lambda_state(0.01)
+    upd = jax.jit(lambda_update)
+
+    rng = np.random.default_rng(0)
+    # flat losses, then a sharp rise (triggers decrease), then a long flat run
+    # (runs the full 500-step schedule and resets to stable)
+    losses = np.concatenate(
+        [
+            3.0 + 0.01 * rng.standard_normal(250),
+            np.linspace(3.0, 4.0, 150),
+            4.0 + 0.01 * rng.standard_normal(700),
+        ]
+    ).astype(np.float32)
+
+    states_seen = set()
+    for n, loss in enumerate(losses):
+        h.update_gan_lambda(0, n, float(loss))
+        lam_host = h.get_current_lambda()
+        lstate, lam_dev = upd(lstate, jnp.float32(loss))
+        assert float(lam_dev) == pytest.approx(lam_host, abs=1e-7), (n, h.state)
+        assert int(lstate["state"]) == h.state, n
+        assert int(lstate["sched_step"]) == h.current_schedule_step, n
+        states_seen.add(h.state)
+    assert DECREASE in states_seen  # the interesting path was exercised
+    assert int(lstate["state"]) == STABLE  # and completed a full cycle
+
+
 def test_gan_lambda_schedule_lengths():
     h = GANLambdaHandler(100, 0.01)
     assert len(h.decrease_schedule) == 500

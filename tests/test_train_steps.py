@@ -10,6 +10,7 @@ from dlsg_tpu.data.loader import train_batches
 from dlsg_tpu.data.synthetic import SyntheticDataset, make_vocab
 from dlsg_tpu.models.discriminator import DiscV2
 from dlsg_tpu.models.generator import CapGnnModel
+from dlsg_tpu.train.gan_lambda import init_lambda_state
 from dlsg_tpu.train.optim import TrainState, make_optimizer
 from dlsg_tpu.train.steps import make_ce_train_step, make_gan_train_step, make_masks
 
@@ -76,11 +77,15 @@ def test_gan_step_runs_and_updates_both(setup):
     # snapshot before stepping: the jitted step donates the input states
     old_params = jax.tree_util.tree_map(np.asarray, gstate.params)
     step = make_gan_train_step(gen, disc, cfg)
-    g2, d2, metrics = step(
-        gstate, dstate, batch, jax.random.PRNGKey(2), jnp.float32(0.9), jnp.float32(0.01)
+    lstate = init_lambda_state(0.01)
+    g2, d2, lstate, metrics = step(
+        gstate, dstate, lstate, batch, jax.random.PRNGKey(2), jnp.float32(0.9)
     )
     for k in ("cap_loss", "loss_G", "loss_D", "wasserstein"):
         assert np.isfinite(float(metrics[k])), k
+    # stable lambda at its start value on step 1 (window not yet full)
+    assert float(metrics["gan_lambda"]) == pytest.approx(0.01)
+    assert int(lstate["count"]) == 1
     assert int(g2.step) == 1
     # D ran num_D_visual sub-steps (reference: 5 per batch, run_gun.py:343)
     assert int(d2.step) == cfg.num_D_visual
