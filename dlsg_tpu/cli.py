@@ -58,6 +58,10 @@ def main(argv=None):
     extra.add_argument("--resume_epoch", type=int, default=None)
     extra.add_argument("--metric", type=str, default=None, help="eval: best_METEOR|best_CIDEr ckpt")
     extra.add_argument(
+        "--allow_random_params", action="store_true",
+        help="evaluate without a checkpoint (scores a randomly initialized model)",
+    )
+    extra.add_argument(
         "--distributed", action="store_true",
         help="multi-host: jax.distributed.initialize() from cluster env vars",
     )
@@ -112,6 +116,15 @@ def main(argv=None):
         from dlsg_tpu.data.loader import eval_batches
         from dlsg_tpu.evaluation.evaluate import evaluate, make_decode_fn
         from dlsg_tpu.models.generator import CapGnnModel
+
+        if not extra_ns.metric and not extra_ns.allow_random_params:
+            print(
+                "evaluate: no --metric given — this would score a RANDOMLY "
+                "INITIALIZED model. Pass --metric best_CIDEr (or another saved "
+                "checkpoint name), or --allow_random_params to force.",
+                file=sys.stderr,
+            )
+            return 2
 
         cfg = apply_dataset_overrides(cfg)
         model = CapGnnModel(cfg, len(vocab))

@@ -95,6 +95,12 @@ class DLSGConfig:
     data_dir: str = "./data"
     result_dir: str = "./results/dlsg"
 
+    # ---- GloVe embedding import (layer.py:352-386) ----
+    # text file of `word v1 .. v300` lines; cached per dataset as .npy
+    glove_txt_path: str = ""  # "" -> data_dir/glove.42B.300d.txt (layer.py:358)
+    # freeze the grafted word embedding (requires_grad=False, model.py:52-53)
+    freeze_word_embed: bool = False
+
     # ---- TPU-native settings (new; no reference equivalent) ----
     # compute dtype for matmuls/activations; params stay fp32.
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
@@ -166,6 +172,16 @@ class DLSGConfig:
     feature_h5_lens: str = "lens"
     region_visual_feats: str = "vfeats"
     region_spatial_feats: str = "sfeats"
+
+    @property
+    def glove_path(self) -> str:
+        """Resolved GloVe text path (layer.py:356-360 fallback chain)."""
+        return self.glove_txt_path or os.path.join(self.data_dir, "glove.42B.300d.txt")
+
+    @property
+    def glove_cache_npy_path(self) -> str:
+        """Per-dataset .npy cache (layer.py:353)."""
+        return os.path.join(self.data_dir, f"{self.dataset}_glove.npy")
 
     @property
     def val_reference_txt_path(self) -> str:

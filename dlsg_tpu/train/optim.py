@@ -25,7 +25,7 @@ def multistep_lr(
 
 
 def make_optimizer(
-    learning_rate: float, grad_clip: float = 0.0
+    learning_rate: float, grad_clip: float = 0.0, frozen_paths: Sequence[str] = ()
 ) -> optax.GradientTransformation:
     """Adam with the reference betas (run_gun.py:91,100), lr injectable.
 
@@ -33,12 +33,33 @@ def make_optimizer(
     reference defines this (`clip_gradient`, utils/utils.py:46-50, flag
     grad_clip=10) but leaves every call site commented out, so it defaults
     off here too.
+
+    frozen_paths: parameter subtrees (matched by path-component name, e.g.
+    "word_embed") whose updates are zeroed — the optax equivalent of the
+    reference's `requires_grad = False` on the grafted word embedding
+    (models/model.py:52-53).
     """
 
     def adam_with_clip(learning_rate):
         tx = optax.adam(learning_rate=learning_rate, b1=0.5, b2=0.9)
         if grad_clip > 0:
-            return optax.chain(optax.clip(grad_clip), tx)
+            tx = optax.chain(optax.clip(grad_clip), tx)
+        if frozen_paths:
+            names = frozenset(frozen_paths)
+
+            def label(params):
+                def walk(tree, frozen):
+                    if not isinstance(tree, dict):
+                        return "frozen" if frozen else "train"
+                    return {
+                        k: walk(v, frozen or k in names) for k, v in tree.items()
+                    }
+
+                return walk(params, False)
+
+            tx = optax.multi_transform(
+                {"train": tx, "frozen": optax.set_to_zero()}, label
+            )
         return tx
 
     return optax.inject_hyperparams(adam_with_clip)(learning_rate=learning_rate)

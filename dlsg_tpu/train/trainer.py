@@ -78,6 +78,26 @@ class _TrainerBase:
         )
 
     # ---- shared helpers ----
+    def _maybe_graft_glove(self, params):
+        """Replace the decoder word embedding with GloVe vectors when
+        cfg.use_glove (layer.py:307-309,352-386)."""
+        cfg = self.cfg
+        if not cfg.use_glove:
+            return params
+        from dlsg_tpu.models.glove import graft_word_embedding, load_glove_matrix
+
+        matrix = load_glove_matrix(
+            self.vocab, cfg.word_size, cfg.glove_path, cfg.glove_cache_npy_path
+        )
+        self._print(f"GloVe embedding grafted from {cfg.glove_path}")
+        return graft_word_embedding(params, matrix)
+
+    def _gen_optimizer(self):
+        """Generator optimizer; freezes the word embedding when configured
+        (the optax mask equivalent of requires_grad=False, model.py:52-53)."""
+        frozen = ("word_embed",) if self.cfg.freeze_word_embed else ()
+        return make_optimizer(self.cfg.learning_rate, frozen_paths=frozen)
+
     def _sample_batch(self):
         cfg = self.cfg
         B = cfg.train_batch_size
@@ -148,7 +168,7 @@ class RunGAN(_TrainerBase):
             jax.random.PRNGKey(cfg.seed), sample["frames"], sample["regions"], sample["captions"]
         )
         self.gen_state = TrainState.create(
-            g_vars["params"], make_optimizer(cfg.learning_rate)
+            self._maybe_graft_glove(g_vars["params"]), self._gen_optimizer()
         )
         if self.use_visual_gan:
             self.disc_model = DiscV2(cfg, V)
@@ -298,7 +318,7 @@ class Run(_TrainerBase):
             jax.random.PRNGKey(cfg.seed), sample["frames"], sample["regions"], sample["captions"]
         )
         self.gen_state = TrainState.create(
-            g_vars["params"], make_optimizer(cfg.learning_rate)
+            self._maybe_graft_glove(g_vars["params"]), self._gen_optimizer()
         )
         self.ce_step = make_ce_train_step(self.gen_model, cfg, self.mesh)
         self.decode_fn = make_decode_fn(self.gen_model, cfg, beam_size=1)

@@ -66,6 +66,88 @@ def test_gan_trainer_one_epoch(tmp_path):
     assert "Loss/D_loss_visual" in tags
 
 
+def _write_tiny_glove(path, vocab, word_size, known):
+    """GloVe text file with deterministic vectors for `known` vocab words."""
+    lines = []
+    for w in known:
+        vec = [round(0.1 * (i + 1) + 0.01 * len(w), 3) for i in range(word_size)]
+        lines.append(w + " " + " ".join(str(x) for x in vec))
+    path.write_text("\n".join(lines) + "\n")
+
+
+def test_trainer_grafts_glove_embedding(tmp_path):
+    """use_glove wires load_glove_matrix into the trainer: embedding rows for
+    in-file words equal the file vectors after init (layer.py:307-309,352-386)."""
+    from dlsg_tpu.train.trainer import RunGAN
+
+    vocab = make_vocab()
+    known = [w for w in vocab.idx2word if not w.startswith("<")][:4]
+    glove = tmp_path / "glove.txt"
+    cfg = tiny_test_config(
+        result_dir=str(tmp_path / "results"),
+        use_glove=True,
+        glove_txt_path=str(glove),
+        data_dir=str(tmp_path),
+    )
+    _write_tiny_glove(glove, vocab, cfg.word_size, known)
+    ds = SyntheticDataset(cfg, vocab, num_videos=4, captions_per_video=1)
+    runner = RunGAN(cfg, vocab, ds, ds.eval_view(), ds.references)
+    emb = np.asarray(
+        runner.gen_state.params["decoder"]["step"]["word_embed"]["embedding"]
+    )
+    from dlsg_tpu.models.glove import load_glove_matrix
+
+    expect = load_glove_matrix(vocab, cfg.word_size, str(glove))
+    for w in known:
+        np.testing.assert_allclose(
+            emb[vocab(w)], expect[vocab(w)], rtol=1e-6, err_msg=w
+        )
+    # missing words got the N(0, 0.6) fallback, not zeros
+    missing = [w for w in vocab.idx2word if not w.startswith("<") and w not in known]
+    assert np.abs(emb[vocab(missing[0])]).sum() > 0
+
+
+@pytest.mark.slow
+def test_frozen_glove_embedding_survives_training(tmp_path):
+    """freeze_word_embed: the grafted embedding is bit-identical after a full
+    training epoch while other params move (requires_grad=False parity,
+    model.py:52-53)."""
+    from dlsg_tpu.train.trainer import RunGAN
+
+    vocab = make_vocab()
+    known = [w for w in vocab.idx2word if not w.startswith("<")][:4]
+    glove = tmp_path / "glove.txt"
+    cfg = tiny_test_config(
+        epoch_num=1,
+        result_dir=str(tmp_path / "results"),
+        train_batch_size=4,
+        test_batch_size=4,
+        beam_size=2,
+        use_glove=True,
+        freeze_word_embed=True,
+        glove_txt_path=str(glove),
+        data_dir=str(tmp_path),
+    )
+    _write_tiny_glove(glove, vocab, cfg.word_size, known)
+    ds = SyntheticDataset(cfg, vocab, num_videos=8, captions_per_video=2)
+    runner = RunGAN(cfg, vocab, ds, ds.eval_view(), ds.references)
+    emb_before = np.asarray(
+        runner.gen_state.params["decoder"]["step"]["word_embed"]["embedding"]
+    ).copy()
+    other_before = np.asarray(
+        runner.gen_state.params["decoder"]["step"]["word_restore"]["kernel"]
+    ).copy()
+    runner.train()
+    emb_after = np.asarray(
+        runner.gen_state.params["decoder"]["step"]["word_embed"]["embedding"]
+    )
+    other_after = np.asarray(
+        runner.gen_state.params["decoder"]["step"]["word_restore"]["kernel"]
+    )
+    np.testing.assert_array_equal(emb_before, emb_after)
+    assert np.abs(other_after - other_before).sum() > 0
+
+
 @pytest.mark.slow
 def test_baseline_trainer_one_epoch(tmp_path):
     from dlsg_tpu.train.trainer import Run
