@@ -136,7 +136,7 @@ def main(argv=None):
         if extra_ns.metric:
             params = ckpt.restore_model(cfg.checkpoint_dir, extra_ns.metric, params)
         decode_fn = make_decode_fn(model, cfg)
-        scores, result, t = evaluate(
+        scores, result, _, t = evaluate(
             decode_fn,
             {"params": params},
             eval_batches(eval_ds, cfg.test_batch_size),

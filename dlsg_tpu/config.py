@@ -105,6 +105,8 @@ class DLSGConfig:
     # compute dtype for matmuls/activations; params stay fp32.
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
     use_pallas_lstm: bool = False  # fused VMEM-resident LSTM scan kernel (TPU)
+    # surface decoder attention at eval and dump heatmaps (run_gun.py:455-465)
+    plot_attention: bool = True
     seed: int = 12  # train_debug.py:34-42 seeds everything with 12
     mesh_data_axis: int = -1  # -1 = use all devices for data parallelism
     mesh_model_axis: int = 1

@@ -1,7 +1,8 @@
 """Evaluation pipeline.
 
 Parity with `evaluate.py:56-134`: batch inference over the eval loader, token
-decoding to strings, COCO scoring, returning (scores, result_dict, infer_time).
+decoding to strings, COCO scoring, returning (scores, result_dict, alpha_all,
+infer_time) exactly like the reference.
 
 TPU design: ONE jitted decode function (greedy via the decoder scan, or beam via
 `ops.beam_search`) reused across batches — static shapes, padded final batch.
@@ -26,11 +27,19 @@ from dlsg_tpu.ops.beam_search import beam_search
 from dlsg_tpu.vocab import END_ID, START_ID, Vocabulary
 
 
-def make_decode_fn(model, cfg: DLSGConfig, beam_size: Optional[int] = None) -> Callable:
+def make_decode_fn(
+    model,
+    cfg: DLSGConfig,
+    beam_size: Optional[int] = None,
+    return_alpha: bool = False,
+) -> Callable:
     """Build a jitted (variables, frames, regions) -> token ids [B, T] decoder.
 
     beam_size None/1 -> greedy (layer.py:426-447); else beam search picking the
-    top beam (layer.py:449-460).
+    top beam (layer.py:449-460). With `return_alpha`, the decoder also returns
+    the per-step attention weights of the emitted caption, [B, T, 2P] — the
+    reference's `alpha_all` (evaluate.py:69-70; for beam search the weights are
+    reconstructed through the backpointers, which the reference never did).
     """
     beam = beam_size if beam_size is not None else cfg.beam_size
 
@@ -38,8 +47,10 @@ def make_decode_fn(model, cfg: DLSGConfig, beam_size: Optional[int] = None) -> C
 
         @jax.jit
         def decode_greedy(variables, frames, regions):
-            outputs, *_ = model.apply(variables, frames, regions, None)
-            return outputs  # [B, T] token ids
+            out = model.apply(variables, frames, regions, None)
+            if return_alpha:
+                return out[0], out[3]  # ids [B, T], alpha [B, T, 2P]
+            return out[0]  # [B, T] token ids
 
         return decode_greedy
 
@@ -66,7 +77,7 @@ def make_decode_fn(model, cfg: DLSGConfig, beam_size: Optional[int] = None) -> C
             )
 
         start = jnp.full((B,), START_ID, jnp.int32)
-        preds, log_probs = beam_search(
+        preds, log_probs, alphas = beam_search(
             start,
             state,
             step_fn,
@@ -76,6 +87,8 @@ def make_decode_fn(model, cfg: DLSGConfig, beam_size: Optional[int] = None) -> C
             normalize=True,  # beam_step returns raw logits
         )
         # top beam == argmax log-prob (beam output is sorted)
+        if return_alpha:
+            return preds[:, 0, :], alphas[:, 0]
         return preds[:, 0, :]
 
     return decode_beam
@@ -88,24 +101,36 @@ def evaluate(
     vocab: Vocabulary,
     reference: Dict,
     scorer: Optional[COCOScorer] = None,
-) -> Tuple[Dict[str, float], "OrderedDict[str, str]", float]:
+) -> Tuple[Dict[str, float], "OrderedDict[str, str]", Optional[np.ndarray], float]:
     """Decode the full eval set and score it (evaluate.py:56-98).
 
-    Returns (scores, {vid: caption}, inference_seconds).
+    Returns (scores, {vid: caption}, alpha_all, inference_seconds) — the same
+    quadruple as the reference's evaluate (its `alpha_all` at evaluate.py:98).
+    alpha_all is a [N, T, 2P] array of the emitted captions' attention weights
+    when decode_fn was built with return_alpha=True, else None.
     """
     result: "OrderedDict[str, str]" = OrderedDict()
+    alpha_chunks = []
     start = time.time()
     for batch in eval_iter:
-        ids = decode_fn(variables, jnp.asarray(batch["frames"]), jnp.asarray(batch["regions"]))
+        out = decode_fn(variables, jnp.asarray(batch["frames"]), jnp.asarray(batch["regions"]))
+        if isinstance(out, tuple):
+            ids, alphas = out
+            alphas = np.asarray(alphas)
+        else:
+            ids, alphas = out, None
         ids = np.asarray(ids)
         valid = batch.get("valid", np.ones(ids.shape[0], bool))
         for ok, vid, toks in zip(valid, batch["video_ids"], ids):
             if ok:
                 result[str(int(vid))] = vocab.decode_tokens(toks)
+        if alphas is not None:
+            alpha_chunks.append(alphas[np.asarray(valid)])
     infer_time = time.time() - start
+    alpha_all = np.concatenate(alpha_chunks, axis=0) if alpha_chunks else None
 
     pred_json = {k: [{"video_id": k, "caption": v}] for k, v in result.items()}
     scorer = scorer or COCOScorer()
     refs = {str(k): v for k, v in reference.items()}
     scores, _ = scorer.score(refs, pred_json, list(pred_json.keys()))
-    return scores, result, infer_time
+    return scores, result, alpha_all, infer_time

@@ -120,7 +120,7 @@ class DecoderStep(nn.Module):
         new_carry = (next_id, qh, qc, lh, lc, global_feat, feats, feats2)
         if collect_logits:
             return new_carry, (logits, alpha)
-        return new_carry, greedy_id
+        return new_carry, (greedy_id, alpha)
 
 
 class Decoder(nn.Module):
@@ -203,10 +203,11 @@ class Decoder(nn.Module):
             out_axes=0,
         )
         if infer:
-            _, ids = scan(self.step, carry, (gold, coins))
+            _, (ids, alphas) = scan(self.step, carry, (gold, coins))
             outputs = jnp.swapaxes(ids, 0, 1)  # [B, T]
-            P = 2 * self.cfg.num_proposals if self.multi_modal else self.cfg.num_proposals
-            alpha_all = jnp.zeros((B, T, P), feats.dtype)
+            alpha_all = jnp.swapaxes(alphas, 0, 1)  # [B, T, 2P] — real attention
+            # weights at inference, like the reference's alpha_all return
+            # (evaluate.py:69-70)
         else:
             _, (logits, alphas) = scan(self.step, carry, (gold, coins))
             outputs = jnp.swapaxes(logits, 0, 1)  # [B, T, V]
@@ -216,12 +217,15 @@ class Decoder(nn.Module):
     def beam_step(self, word_id, state, feats, feats2, global_feat):
         """One beam-search step over the flattened [B*beam] group.
 
-        state = dict(qh, qc, lh, lc). Returns (log_probs [G, V], new_state).
+        state = dict(qh, qc, lh, lc). Returns (log_probs [G, V], new_state,
+        alpha [G, 2P]) — the attention weights ride along as beam-search aux so
+        the selected beam's per-step alphas can be reconstructed
+        (the reference computes them at layer.py:530 but discards them).
         Replaces the reference's per-beam Python loop (layer.py:510-567) with one
         batched decode.
         """
         word = self.step.word_embed(word_id)
-        logits, qh, qc, lh, lc, _ = self.step.decode(
+        logits, qh, qc, lh, lc, alpha = self.step.decode(
             word,
             state["qh"],
             state["qc"],
@@ -235,7 +239,7 @@ class Decoder(nn.Module):
         # raw logits: the beam driver runs top-k first and normalizes only the
         # selected values (ops/beam_search.py normalize=True), avoiding a full
         # [G, V] log_softmax materialization per step
-        return logits, {"qh": qh, "qc": qc, "lh": lh, "lc": lc}
+        return logits, {"qh": qh, "qc": qc, "lh": lh, "lc": lc}, alpha
 
     def init_beam_state(self, feats, feats2):
         """Initial (state, consts) for beam search (layer.py:450-455)."""

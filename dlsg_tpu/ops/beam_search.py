@@ -46,7 +46,10 @@ def beam_search(
     Args:
       start_tokens: [B] int32 start token per sequence.
       init_state: pytree with leaves of shape [B, ...].
-      step_fn: (tokens [G], state with [G,...] leaves) -> (log_probs [G, V], state).
+      step_fn: (tokens [G], state with [G,...] leaves) -> (log_probs [G, V], state)
+        or (log_probs, state, aux) where `aux` is a [G, ...] array of per-step
+        side outputs (e.g. attention weights); when present, the aux of each
+        surviving beam is reconstructed through the backpointers and returned.
         With `normalize=True`, step_fn may return RAW logits instead.
       end_id: index of `<end>`.
       max_steps: total sequence length (reference: max_words=26).
@@ -60,13 +63,17 @@ def beam_search(
 
     Returns:
       predictions [B, beam, max_steps] (sorted by log-prob, best first),
-      log_probs   [B, beam].
+      log_probs   [B, beam],
+      and, when step_fn emits aux, aux [B, beam, max_steps, ...].
     """
     pnbs = per_node_beam_size or beam_size
     B = start_tokens.shape[0]
 
     # ---- first step: B -> B*beam expansion (allennlp_beamsearch.py:107-160) ----
-    log_probs0, state = step_fn(start_tokens, init_state)
+    out0 = step_fn(start_tokens, init_state)
+    log_probs0, state = out0[0], out0[1]
+    has_aux = len(out0) > 2
+    aux0 = out0[2] if has_aux else None  # [B, ...], shared by all first beams
     V = log_probs0.shape[-1]
     start_top_lp, start_ids = jax.lax.top_k(log_probs0, beam_size)  # [B, beam]
     if normalize:
@@ -83,7 +90,10 @@ def beam_search(
     def scan_body(carry, _):
         last_preds, last_lp, state = carry  # [B,beam], [B,beam], [B*beam,...]
         flat_preds = last_preds.reshape(B * beam_size)
-        lp, new_state = step_fn(flat_preds, state)  # [B*beam, V]
+        out = step_fn(flat_preds, state)  # [B*beam, V]
+        lp, new_state = out[0], out[1]
+        # aux is indexed by PARENT beam row (the row that was expanded)
+        aux = out[2].reshape(B, beam_size, *out[2].shape[1:]) if has_aux else ()
         ended = (flat_preds == end_id)[:, None]
         if normalize:
             vals, top_ids = jax.lax.top_k(lp, pnbs)  # [B*beam, pnbs]
@@ -109,9 +119,9 @@ def beam_search(
             )
 
         new_state = jax.tree_util.tree_map(reorder, new_state)
-        return (preds_t, beam_lp, new_state), (preds_t, backptr)
+        return (preds_t, beam_lp, new_state), (preds_t, backptr, aux)
 
-    (final_preds, final_lp, _), (preds_seq, backptr_seq) = jax.lax.scan(
+    (final_preds, final_lp, _), (preds_seq, backptr_seq, aux_seq) = jax.lax.scan(
         scan_body,
         (start_ids, last_log_probs, state),
         None,
@@ -121,10 +131,16 @@ def beam_search(
 
     # ---- reconstruction (allennlp_beamsearch.py:270-292) ----
     def recon_body(cur_ptr, xs):
-        preds_t, backptr_t = xs
+        preds_t, backptr_t, aux_t = xs
         out = jnp.take_along_axis(preds_t, cur_ptr, axis=1)
         cur_ptr = jnp.take_along_axis(backptr_t, cur_ptr, axis=1)
-        return cur_ptr, out
+        if has_aux:
+            # the step-t aux of the surviving beam came from its PARENT row
+            idx = cur_ptr.reshape(B, beam_size, *([1] * (aux_t.ndim - 2)))
+            aux_out = jnp.take_along_axis(aux_t, idx, axis=1)
+        else:
+            aux_out = ()
+        return cur_ptr, (out, aux_out)
 
     # walk from the last step backwards; scan(reverse=True) emits ys aligned
     # with xs order, i.e. ys[t] is the token at step t+1 of the final beams.
@@ -133,8 +149,8 @@ def beam_search(
     # cur_ptr follows backptr_seq[k]. Starting from the identity pointer this
     # reproduces allennlp_beamsearch.py:270-292 exactly.
     init_ptr = jnp.tile(jnp.arange(beam_size)[None, :], (B, 1))
-    cur_ptr, tail_tokens = jax.lax.scan(
-        recon_body, init_ptr, (preds_seq, backptr_seq), reverse=True
+    cur_ptr, (tail_tokens, tail_aux) = jax.lax.scan(
+        recon_body, init_ptr, (preds_seq, backptr_seq, aux_seq), reverse=True
     )
     # tail_tokens: [max_steps-1, B, beam] — steps 1..max_steps-1
     first_tokens = jnp.take_along_axis(start_ids, cur_ptr, axis=1)  # step 0
@@ -142,4 +158,13 @@ def beam_search(
         [first_tokens[None], tail_tokens], axis=0
     )  # [max_steps, B, beam]
     predictions = jnp.transpose(all_tokens, (1, 2, 0))  # [B, beam, max_steps]
-    return predictions, final_lp
+    if not has_aux:
+        return predictions, final_lp
+    # step-0 aux is shared by every beam of a group (pre-expansion step)
+    first_aux = jnp.broadcast_to(
+        aux0[:, None], (B, beam_size, *aux0.shape[1:])
+    )
+    all_aux = jnp.concatenate([first_aux[None], tail_aux], axis=0)
+    # [max_steps, B, beam, ...] -> [B, beam, max_steps, ...]
+    aux_out = jnp.moveaxis(all_aux, 0, 2)
+    return predictions, final_lp, aux_out

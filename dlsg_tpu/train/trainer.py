@@ -143,10 +143,24 @@ class _TrainerBase:
         cfg = self.cfg
         t0 = time.time()
         eval_iter = eval_batches(self.eval_dataset, cfg.test_batch_size)
-        scores, results, infer_time = evaluate(
+        scores, results, alpha_all, infer_time = evaluate(
             self.decode_fn, variables, eval_iter, self.vocab, self.test_reference
         )
         self._print(f"evaluate time: {time.time() - t0:.3f}s (inference {infer_time:.3f}s)")
+        if alpha_all is not None and self.is_leader:
+            # heatmap of the first clip's proposal attention (run_gun.py:455-465)
+            from dlsg_tpu.utils.plots import plot_alpha_all
+
+            first_vid, first_cap = next(iter(results.items()))
+            plot_alpha_all(
+                alpha_all[:1],
+                cfg.num_proposals,
+                title=first_cap,
+                out_dir=f"{cfg.result_dir}/{self.base_name}/images",
+                epoch=epoch,
+                step=global_step,
+                vid=int(first_vid),
+            )
         for tag in ("Bleu_4", "METEOR", "CIDEr", "ROUGE_L"):
             if tag in scores:
                 self.writer.add_scalar(f"results/{tag}", scores[tag], global_step)
@@ -193,7 +207,9 @@ class RunGAN(_TrainerBase):
                 self.gen_model, self.disc_model, cfg, self.mesh
             )
         self.ce_step = make_ce_train_step(self.gen_model, cfg, self.mesh)
-        self.decode_fn = make_decode_fn(self.gen_model, cfg)
+        self.decode_fn = make_decode_fn(
+            self.gen_model, cfg, return_alpha=cfg.plot_attention
+        )
 
         # device-side adaptive lambda state (exact run_gun.py:210-231 ordering)
         self.lambda_state = init_lambda_state(cfg.lambda_D_visual)

@@ -69,7 +69,7 @@ def test_cli_evaluate_synthetic(tmp_path, capsys):
     from dlsg_tpu.cli import main
 
     rc = main([
-        "evaluate", "--synthetic", "--synthetic_videos", "6",
+        "evaluate", "--synthetic", "--allow_random_params", "--synthetic_videos", "6",
         "--train_batch_size", "4", "--test_batch_size", "4", "--beam_size", "2",
         "--visual_hidden_size", "32", "--region_projected_size", "32",
         "--query_hidden_size", "32", "--word_size", "16",

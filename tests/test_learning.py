@@ -63,7 +63,7 @@ def test_gan_training_fits_synthetic_data(compute_dtype):
     decode_fn = make_decode_fn(gen, cfg, beam_size=cfg.beam_size)
 
     def score_now(gstate):
-        scores, results, _ = evaluate(
+        scores, results, _, _ = evaluate(
             decode_fn,
             {"params": gstate.params},
             eval_batches(ds.eval_view(), cfg.test_batch_size),

@@ -112,6 +112,42 @@ def test_cap_gnn_model_end_to_end(tiny_cfg, batch):
     assert alpha.shape == (B, cfg.max_words, 2 * cfg.num_proposals)
 
 
+def test_inference_alphas_are_real_distributions(tiny_cfg, batch):
+    """Greedy decode returns the actual per-step attention weights: each of the
+    two proposal softmaxes sums to 1 per step (round 1 returned zeros)."""
+    frames, regions, captions, _ = batch
+    cfg = tiny_cfg
+    P = cfg.num_proposals
+    mod = CapGnnModel(cfg, VOCAB)
+    v = mod.init(jax.random.PRNGKey(0), frames, regions, captions)
+    ids, _, _, alpha = mod.apply(v, frames, regions, None)
+    assert ids.shape == (frames.shape[0], cfg.max_words)
+    assert alpha.shape == (frames.shape[0], cfg.max_words, 2 * P)
+    np.testing.assert_allclose(np.sum(alpha[..., :P], axis=-1), 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.sum(alpha[..., P:], axis=-1), 1.0, atol=1e-4)
+    assert np.asarray(alpha).std() > 0  # not a constant placeholder
+
+
+def test_beam_alphas_match_teacher_forced_replay(tiny_cfg, batch):
+    """The backpointer-reconstructed beam alphas must equal the alphas from
+    teacher-forcing the predicted caption back through the decoder: both paths
+    see the identical token prefix, so the attention rows coincide."""
+    from dlsg_tpu.evaluation.evaluate import make_decode_fn
+
+    frames, regions, captions, _ = batch
+    cfg = tiny_cfg
+    mod = CapGnnModel(cfg, VOCAB)
+    v = mod.init(jax.random.PRNGKey(0), frames, regions, captions)
+    decode = make_decode_fn(mod, cfg, beam_size=3, return_alpha=True)
+    ids, alpha_beam = decode(v, frames, regions)
+    # replay: feed the predicted tokens as gold with full teacher forcing
+    _, _, _, alpha_tf = mod.apply(v, frames, regions, jnp.asarray(ids))
+    np.testing.assert_allclose(
+        np.asarray(alpha_beam), np.asarray(alpha_tf)[:, : alpha_beam.shape[1]],
+        atol=2e-5,
+    )
+
+
 def test_cap_baseline1(tiny_cfg, batch):
     frames, regions, captions, _ = batch
     mod = CapBaseline1(tiny_cfg, VOCAB)

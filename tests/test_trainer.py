@@ -64,6 +64,9 @@ def test_gan_trainer_one_epoch(tmp_path):
     tags = {__import__("json").loads(l)["tag"] for l in open(log)}
     assert "Loss/cap_loss" in tags
     assert "Loss/D_loss_visual" in tags
+    # an attention heatmap PNG landed in the results dir (run_gun.py:455-465)
+    images = tmp_path / "results" / runner.base_name / "images"
+    assert images.exists() and any(p.suffix == ".png" for p in images.iterdir())
 
 
 def _write_tiny_glove(path, vocab, word_size, known):
