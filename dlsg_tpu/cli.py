@@ -135,7 +135,7 @@ def main(argv=None):
         params = model.init(jax.random.PRNGKey(cfg.seed), frames, regions, caps)["params"]
         if extra_ns.metric:
             params = ckpt.restore_model(cfg.checkpoint_dir, extra_ns.metric, params)
-        decode_fn = make_decode_fn(model, cfg)
+        decode_fn = make_decode_fn(model, cfg, mesh=mesh)
         scores, result, _, t = evaluate(
             decode_fn,
             {"params": params},

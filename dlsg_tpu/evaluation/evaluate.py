@@ -32,6 +32,7 @@ def make_decode_fn(
     cfg: DLSGConfig,
     beam_size: Optional[int] = None,
     return_alpha: bool = False,
+    mesh=None,
 ) -> Callable:
     """Build a jitted (variables, frames, regions) -> token ids [B, T] decoder.
 
@@ -40,21 +41,26 @@ def make_decode_fn(
     the per-step attention weights of the emitted caption, [B, T, 2P] — the
     reference's `alpha_all` (evaluate.py:69-70; for beam search the weights are
     reconstructed through the backpointers, which the reference never did).
+
+    With `mesh`, eval batches are sharded over the mesh's data axis so every
+    chip decodes a slice — the TPU replacement for the reference's 4-GPU eval
+    fan-out (evaluate.py:101-134, run_gun.py:269-281). Decode is embarrassingly
+    batch-parallel, so XLA compiles it with zero cross-chip collectives; the
+    fixed-shape token/alpha outputs are simply read back on host (no
+    all_gather_object needed).
     """
     beam = beam_size if beam_size is not None else cfg.beam_size
 
     if beam <= 1:
 
-        @jax.jit
         def decode_greedy(variables, frames, regions):
             out = model.apply(variables, frames, regions, None)
             if return_alpha:
                 return out[0], out[3]  # ids [B, T], alpha [B, T, 2P]
             return out[0]  # [B, T] token ids
 
-        return decode_greedy
+        return _jit_decode(decode_greedy, mesh)
 
-    @jax.jit
     def decode_beam(variables, frames, regions):
         obj, mot = model.apply(variables, frames, regions, method=model.encode)
         state, (feats, feats2, gfeat) = model.apply(
@@ -91,7 +97,30 @@ def make_decode_fn(
             return preds[:, 0, :], alphas[:, 0]
         return preds[:, 0, :]
 
-    return decode_beam
+    return _jit_decode(decode_beam, mesh)
+
+
+def _jit_decode(decode, mesh) -> Callable:
+    """jit a decode fn; with a mesh, constrain inputs to the data axis."""
+    if mesh is None:
+        return jax.jit(decode)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dlsg_tpu.parallel.mesh import DATA_AXIS
+
+    bsh = NamedSharding(mesh, P(DATA_AXIS))
+    n_data = mesh.shape[DATA_AXIS]
+
+    def wrapper(variables, frames, regions):
+        assert frames.shape[0] % n_data == 0, (
+            f"eval batch {frames.shape[0]} must divide the data axis ({n_data})"
+        )
+        frames = jax.lax.with_sharding_constraint(frames, bsh)
+        regions = jax.lax.with_sharding_constraint(regions, bsh)
+        return decode(variables, frames, regions)
+
+    return jax.jit(wrapper)
 
 
 def evaluate(

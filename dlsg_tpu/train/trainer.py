@@ -207,8 +207,10 @@ class RunGAN(_TrainerBase):
                 self.gen_model, self.disc_model, cfg, self.mesh
             )
         self.ce_step = make_ce_train_step(self.gen_model, cfg, self.mesh)
+        # eval decode is sharded over the mesh data axis (the reference's
+        # 4-GPU eval fan-out, run_gun.py:269-281)
         self.decode_fn = make_decode_fn(
-            self.gen_model, cfg, return_alpha=cfg.plot_attention
+            self.gen_model, cfg, return_alpha=cfg.plot_attention, mesh=self.mesh
         )
 
         # device-side adaptive lambda state (exact run_gun.py:210-231 ordering)
@@ -337,7 +339,7 @@ class Run(_TrainerBase):
             self._maybe_graft_glove(g_vars["params"]), self._gen_optimizer()
         )
         self.ce_step = make_ce_train_step(self.gen_model, cfg, self.mesh)
-        self.decode_fn = make_decode_fn(self.gen_model, cfg, beam_size=1)
+        self.decode_fn = make_decode_fn(self.gen_model, cfg, beam_size=1, mesh=self.mesh)
 
     def train(self, num_shards: int = 1, shard_index: int = 0) -> ResultHandler:
         cfg = self.cfg

@@ -56,6 +56,47 @@ def test_dryrun_multichip_entrypoint():
     mod.dryrun_multichip(8)
 
 
+def test_sharded_eval_matches_single_device():
+    """An 8-device mesh eval must decode the identical captions (and scores)
+    as the single-device path — the replacement for the reference's 4-GPU
+    eval fan-in (evaluate.py:101-134, run_gun.py:269-281)."""
+    from dlsg_tpu.config import tiny_test_config
+    from dlsg_tpu.data.loader import eval_batches
+    from dlsg_tpu.data.synthetic import SyntheticDataset, make_vocab
+    from dlsg_tpu.evaluation.evaluate import evaluate, make_decode_fn
+    from dlsg_tpu.models.generator import CapGnnModel
+
+    cfg = tiny_test_config(test_batch_size=8, beam_size=2)
+    vocab = make_vocab()
+    ds = SyntheticDataset(cfg, vocab, num_videos=12, captions_per_video=1)
+    model = CapGnnModel(cfg, len(vocab))
+    b0 = next(eval_batches(ds.eval_view(), cfg.test_batch_size))
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(b0["frames"]),
+        jnp.asarray(b0["regions"]),
+        jnp.zeros((cfg.test_batch_size, cfg.max_words), jnp.int32),
+    )
+
+    single = make_decode_fn(model, cfg, return_alpha=True)
+    mesh = make_mesh()  # 8-way data axis
+    sharded = make_decode_fn(model, cfg, return_alpha=True, mesh=mesh)
+
+    s1, r1, a1, _ = evaluate(
+        single, variables, eval_batches(ds.eval_view(), cfg.test_batch_size),
+        vocab, ds.references,
+    )
+    with mesh:
+        s8, r8, a8, _ = evaluate(
+            sharded, variables, eval_batches(ds.eval_view(), cfg.test_batch_size),
+            vocab, ds.references,
+        )
+    assert r1 == r8  # identical captions, video by video
+    np.testing.assert_allclose(a1, a8, atol=2e-5)
+    for k in s1:
+        assert s1[k] == pytest.approx(s8[k], abs=1e-9), k
+
+
 def test_tp_param_sharding():
     """Vocab projection sharded over the model axis; loss matches replicated."""
     import jax.numpy as jnp
