@@ -63,23 +63,20 @@ def make_decode_fn(
 
     def decode_beam(variables, frames, regions):
         obj, mot = model.apply(variables, frames, regions, method=model.encode)
-        state, (feats, feats2, gfeat) = model.apply(
+        state, pre = model.apply(
             variables, obj, mot, method=model.decoder_init_beam_state
         )
-        B = feats.shape[0]
-        # expand the loop-invariant proposal tensors to [B*beam] ONCE — doing
-        # it inside the step would copy ~1GB over a 26-step decode
-        feats_x = jnp.repeat(feats, beam, 0)
-        feats2_x = jnp.repeat(feats2, beam, 0)
-        gfeat_x = jnp.repeat(gfeat, beam, 0)
+        B = obj.shape[0]
+        # expand the precomputed loop invariants (attention K/V, global-feat
+        # projection) to [B*beam] ONCE — doing it inside the step would copy
+        # them every one of the 26 steps
+        pre_x = jax.tree_util.tree_map(lambda t: jnp.repeat(t, beam, 0), pre)
 
         def step_fn(tokens, st):
-            if tokens.shape[0] == B:  # first step runs un-expanded
-                f, f2, g = feats, feats2, gfeat
-            else:
-                f, f2, g = feats_x, feats2_x, gfeat_x
+            # first step runs un-expanded on [B]
+            p = pre if tokens.shape[0] == B else pre_x
             return model.apply(
-                variables, tokens, st, f, f2, g, method=model.decoder_beam_step
+                variables, tokens, st, p, method=model.decoder_beam_step
             )
 
         start = jnp.full((B,), START_ID, jnp.int32)

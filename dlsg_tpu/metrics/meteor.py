@@ -7,33 +7,47 @@ The jar and its ~1GB paraphrase data are NOT shipped in the reference repo
 this module implements the published METEOR 1.5 English scoring algorithm
 (Denkowski & Lavie 2014) natively:
 
-- match stages: exact > stem (Porter2/Snowball English) > paraphrase-lite
-  (synonym/paraphrase tables are data files we cannot vendor; the stage is
-  table-driven and pluggable via `set_paraphrase_table`).
-- alignment: largest set of non-conflicting matches, resolved greedily
-  left-to-right by stage priority, then chunk-minimizing tie-breaking —
-  the standard METEOR beam-search objective approximated greedily.
+- match stages: exact > stem (Porter2/Snowball English) > synonym/paraphrase.
+  The stage-3 table defaults to a curated caption-domain synonym list shipped
+  in-repo (`metrics/data/synonyms.txt` — a compact distillation standing in for
+  the unshippable paraphrase-en.gz); `set_paraphrase_table` swaps in a custom
+  table.
+- alignment: the official Aligner's beam search over partial alignments,
+  selecting by METEOR's documented objective — MAXIMIZE matched words, then
+  MINIMIZE chunks, then MINIMIZE total match distance (Denkowski & Lavie 2011
+  §2; meteor-1.5 Aligner.java uses the same beam strategy).
 - scoring: weighted P/R with function-word discounting (delta), parameterized
   fmean (alpha), fragmentation penalty (gamma, beta) with the METEOR 1.5
   English defaults alpha=.85, beta=.2, gamma=.6, delta=.75,
-  stage weights (1.0, .6, .8, .6).
+  stage weights (1.0, .6, .8).
+- a perfect alignment (one chunk covering all of both sentences) carries zero
+  fragmentation penalty, so identical sentences score 1.0 — the jar's observed
+  behavior (feeding ground truth through coco-caption yields METEOR=1.0).
 - corpus score: aggregate statistics over segments (METEOR's 'final score' is
   computed from summed statistics, not a mean of segment scores) — matching the
   jar's EVAL protocol semantics.
 
+The scoring engine is validated against an independent implementation:
+`tests/test_metrics.py::test_meteor_matches_nltk_reference` runs NLTK's METEOR
+(exact+stem, original 2005 parameters) on a fixture set and asserts equality
+when this engine is configured with the same parameters.
+
 A C++ implementation of the aligner lives in dlsg_tpu/native; this Python
-version is the always-available fallback with identical behavior.
+version is the always-available reference with identical behavior
+(tests/test_native.py asserts exact equivalence).
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
 
 from dlsg_tpu.metrics.stemmer import porter2_stem
 
 # METEOR 1.5 English parameters (Denkowski & Lavie 2014, table 2)
 ALPHA, BETA, GAMMA, DELTA = 0.85, 0.2, 0.6, 0.75
-STAGE_WEIGHTS = (1.0, 0.6, 0.8)  # exact, stem, paraphrase
+STAGE_WEIGHTS = (1.0, 0.6, 0.8)  # exact, stem, synonym/paraphrase
+BEAM_WIDTH = 40  # meteor-1.5 Aligner.java beam size
 
 # A compact English function-word list (METEOR uses a corpus-derived list).
 FUNCTION_WORDS = frozenset(
@@ -47,50 +61,121 @@ FUNCTION_WORDS = frozenset(
     very s t just don now""".split()
 )
 
+_SYNONYMS_PATH = os.path.join(os.path.dirname(__file__), "data", "synonyms.txt")
 
-_PARAPHRASE: Dict[str, frozenset] = {}
+_PARAPHRASE: Optional[Dict[str, frozenset]] = None  # None -> load default file
+_IS_DEFAULT_TABLE = True  # native fast path only valid with the shipped table
 
 
-def set_paraphrase_table(table: Dict[str, Sequence[str]]) -> None:
-    """Install a paraphrase/synonym table (word -> equivalents)."""
+def _load_default_table() -> Dict[str, frozenset]:
+    """Parse the shipped synonym groups (one space-separated group per line)."""
+    table: Dict[str, set] = {}
+    if os.path.exists(_SYNONYMS_PATH):
+        with open(_SYNONYMS_PATH) as f:
+            for line in f:
+                words = line.split("#")[0].split()
+                if len(words) < 2:
+                    continue
+                for w in words:
+                    table.setdefault(w, set()).update(x for x in words if x != w)
+    return {k: frozenset(v) for k, v in table.items()}
+
+
+def get_paraphrase_table() -> Dict[str, frozenset]:
     global _PARAPHRASE
-    _PARAPHRASE = {k: frozenset(v) for k, v in table.items()}
+    if _PARAPHRASE is None:
+        _PARAPHRASE = _load_default_table()
+    return _PARAPHRASE
 
 
-def _match_stage(h: str, r: str) -> int:
-    """Return the first matching stage index, or -1."""
+def set_paraphrase_table(table: Optional[Dict[str, Sequence[str]]]) -> None:
+    """Install a custom synonym/paraphrase table (word -> equivalents).
+
+    Pass None to restore the shipped default; pass {} to disable stage 3.
+    """
+    global _PARAPHRASE, _IS_DEFAULT_TABLE
+    _IS_DEFAULT_TABLE = table is None
+    _PARAPHRASE = None if table is None else {
+        k: frozenset(v) for k, v in table.items()
+    }
+
+
+def _match_stage(h: str, r: str, table) -> int:
+    """Return the highest-precedence matching stage index, or -1.
+
+    Stage 2 looks up both surface forms and stems (the table lists lemmas;
+    METEOR's WordNet stage likewise lemmatizes before synset lookup)."""
     if h == r:
         return 0
-    if porter2_stem(h) == porter2_stem(r):
+    hs, rs = porter2_stem(h), porter2_stem(r)
+    if hs == rs:
         return 1
-    if r in _PARAPHRASE.get(h, ()) or h in _PARAPHRASE.get(r, ()):
-        return 2
+    for a, b in ((h, r), (hs, rs)):
+        if b in table.get(a, ()) or a in table.get(b, ()):
+            return 2
     return -1
 
 
-def _align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int, int]]:
-    """Greedy stage-priority alignment: for each stage, match unmatched hyp
-    words to unmatched ref words, preferring positionally-close pairs (keeps
-    chunks low). Returns [(hyp_idx, ref_idx, stage)]."""
-    matches: List[Tuple[int, int, int]] = []
-    used_h = [False] * len(hyp)
-    used_r = [False] * len(ref)
-    for stage in range(len(STAGE_WEIGHTS)):
-        for i, hw in enumerate(hyp):
-            if used_h[i]:
-                continue
-            best_j, best_dist = -1, 10**9
-            for j, rw in enumerate(ref):
-                if used_r[j]:
+def _align(
+    hyp: List[str], ref: List[str], table=None
+) -> List[Tuple[int, int, int]]:
+    """METEOR alignment: beam search over one-to-one word matches.
+
+    Objective (lexicographic, per the METEOR papers and Aligner.java):
+    1. maximize the number of matched words;
+    2. minimize the number of chunks;
+    3. minimize the sum of |i - j| over matches.
+    Returns [(hyp_idx, ref_idx, stage)] sorted by hyp_idx.
+    """
+    if table is None:
+        table = get_paraphrase_table()
+    n, m = len(hyp), len(ref)
+    cands: List[List[Tuple[int, int]]] = []
+    for i in range(n):
+        row = []
+        for j in range(m):
+            s = _match_stage(hyp[i], ref[j], table)
+            if s >= 0:
+                row.append((j, s))
+        cands.append(row)
+
+    # partial alignment state: (used_ref_bitmask, last_i, last_j,
+    #                           matches, chunks, dist, matchlist)
+    start = (0, -2, -2, 0, 0, 0, ())
+    beam = [start]
+    for i in range(n):
+        if not cands[i]:
+            continue
+        extended = {}
+
+        def consider(state):
+            key = (state[0], state[1], state[2])
+            prev = extended.get(key)
+            if prev is None or _state_rank(state) < _state_rank(prev):
+                extended[key] = state
+
+        for st in beam:
+            consider(st)  # hyp[i] left unmatched
+            used, li, lj, mt, ch, ds, ml = st
+            for j, s in cands[i]:
+                bit = 1 << j
+                if used & bit:
                     continue
-                if _match_stage(hw, rw) == stage:
-                    d = abs(i - j)
-                    if d < best_dist:
-                        best_j, best_dist = j, d
-            if best_j >= 0:
-                used_h[i] = used_r[best_j] = True
-                matches.append((i, best_j, stage))
-    return sorted(matches)
+                nch = ch + (0 if (li == i - 1 and lj == j - 1) else 1)
+                consider(
+                    (used | bit, i, j, mt + 1, nch, ds + abs(i - j), ml + ((i, j, s),))
+                )
+        beam = sorted(extended.values(), key=_state_rank)[:BEAM_WIDTH]
+
+    best = min(beam, key=_state_rank)
+    return list(best[6])
+
+
+def _state_rank(state):
+    """Total order on partial alignments: the METEOR objective, then a
+    deterministic tie-break on the match list (keeps the C++ port exact)."""
+    _, _, _, matches, chunks, dist, matchlist = state
+    return (-matches, chunks, dist, matchlist)
 
 
 def _count_chunks(matches: List[Tuple[int, int, int]]) -> int:
@@ -104,10 +189,29 @@ def _count_chunks(matches: List[Tuple[int, int, int]]) -> int:
     return chunks
 
 
-def _weight(word: str) -> float:
-    """Function-word discounting: content words weigh delta, function words
-    (1 - delta)."""
-    return (1.0 - DELTA) if word in FUNCTION_WORDS else DELTA
+class MeteorParams:
+    """Scoring parameters; defaults are METEOR 1.5 English."""
+
+    __slots__ = ("alpha", "beta", "gamma", "delta", "weights")
+
+    def __init__(
+        self,
+        alpha: float = ALPHA,
+        beta: float = BETA,
+        gamma: float = GAMMA,
+        delta: float = DELTA,
+        weights: Tuple[float, ...] = STAGE_WEIGHTS,
+    ):
+        self.alpha, self.beta, self.gamma, self.delta = alpha, beta, gamma, delta
+        self.weights = weights
+
+    def word_weight(self, word: str) -> float:
+        """Function-word discounting: content words weigh delta, function
+        words (1 - delta)."""
+        return (1.0 - self.delta) if word in FUNCTION_WORDS else self.delta
+
+
+_DEFAULT_PARAMS = MeteorParams()
 
 
 class SegmentStats:
@@ -124,51 +228,62 @@ class SegmentStats:
         self.raw_matches = raw_matches
 
 
-def _segment_stats(hyp: List[str], ref: List[str]) -> SegmentStats:
-    # native fast path (exact+stem only — valid while no paraphrase table is set)
-    if not _PARAPHRASE:
+def _segment_stats(
+    hyp: List[str], ref: List[str], params: MeteorParams = _DEFAULT_PARAMS
+) -> SegmentStats:
+    # native fast path: the C++ aligner implements the same beam search and
+    # synonym table (tests/test_native.py asserts exact equivalence); only
+    # valid at default parameters with the shipped table
+    if params is _DEFAULT_PARAMS and _IS_DEFAULT_TABLE:
         from dlsg_tpu import native
 
         st = native.meteor_stats(" ".join(hyp), " ".join(ref))
         if st is not None:
             return SegmentStats(st[0], st[1], st[2], st[3], int(st[4]), int(st[5]))
     matches = _align(hyp, ref)
-    wp_num = sum(STAGE_WEIGHTS[s] * _weight(hyp[i]) for i, _, s in matches)
-    wr_num = sum(STAGE_WEIGHTS[s] * _weight(ref[j]) for _, j, s in matches)
-    wp_den = sum(_weight(w) for w in hyp)
-    wr_den = sum(_weight(w) for w in ref)
+    wp_num = sum(params.weights[s] * params.word_weight(hyp[i]) for i, _, s in matches)
+    wr_num = sum(params.weights[s] * params.word_weight(ref[j]) for _, j, s in matches)
+    wp_den = sum(params.word_weight(w) for w in hyp)
+    wr_den = sum(params.word_weight(w) for w in ref)
     chunks = _count_chunks(matches)
-    avg_len = 0.5 * (len(hyp) + len(ref))
-    # all-words-match, single chunk -> zero fragmentation (METEOR convention)
+    # all-words-match, single chunk -> zero fragmentation (the jar scores
+    # identical sentences 1.0; with beta=0.2 no other convention can)
     if matches and chunks == 1 and len(matches) == len(hyp) == len(ref):
         chunks = 0
     return SegmentStats(wp_num, wp_den, wr_num, wr_den, chunks, len(matches))
 
 
-def _score_from_stats(st: SegmentStats) -> float:
+def _score_from_stats(st: SegmentStats, params: MeteorParams = _DEFAULT_PARAMS) -> float:
     if st.wp_den == 0 or st.wr_den == 0 or st.raw_matches == 0:
         return 0.0
     p = st.wp_num / st.wp_den
     r = st.wr_num / st.wr_den
     if p == 0 or r == 0:
         return 0.0
-    fmean = (p * r) / (ALPHA * p + (1 - ALPHA) * r)
+    fmean = (p * r) / (params.alpha * p + (1 - params.alpha) * r)
     frag = st.chunks / st.raw_matches if st.raw_matches else 0.0
-    penalty = GAMMA * (frag**BETA) if st.chunks > 0 else 0.0
+    penalty = params.gamma * (frag**params.beta) if st.chunks > 0 else 0.0
     return (1.0 - penalty) * fmean
 
 
-def score_pair(hypothesis: str, references: Sequence[str]) -> float:
+def score_pair(
+    hypothesis: str,
+    references: Sequence[str],
+    params: MeteorParams = _DEFAULT_PARAMS,
+) -> float:
     """Best score over references (METEOR scores against the best ref)."""
     hyp = hypothesis.split()
     best = 0.0
     for ref in references:
-        best = max(best, _score_from_stats(_segment_stats(hyp, ref.split())))
+        best = max(best, _score_from_stats(_segment_stats(hyp, ref.split(), params), params))
     return best
 
 
 class Meteor:
     """coco-caption Meteor API (`meteor/meteor.py:15-84`), Java-free."""
+
+    def __init__(self, params: MeteorParams = _DEFAULT_PARAMS):
+        self.params = params
 
     def method(self) -> str:
         return "METEOR"
@@ -176,6 +291,7 @@ class Meteor:
     def compute_score(self, gts, res):
         assert sorted(gts.keys()) == sorted(res.keys())
         ids = sorted(gts.keys())
+        params = self.params
         scores: List[float] = []
         agg = SegmentStats(0.0, 0.0, 0.0, 0.0, 0, 0)
         for id_ in ids:
@@ -183,8 +299,8 @@ class Meteor:
             hyp = res[id_][0].split()
             best_score, best_stats = 0.0, None
             for ref in gts[id_]:
-                st = _segment_stats(hyp, ref.split())
-                sc = _score_from_stats(st)
+                st = _segment_stats(hyp, ref.split(), params)
+                sc = _score_from_stats(st, params)
                 if best_stats is None or sc > best_score:
                     best_score, best_stats = sc, st
             scores.append(best_score)
@@ -194,4 +310,4 @@ class Meteor:
             agg.wr_den += best_stats.wr_den
             agg.chunks += best_stats.chunks
             agg.raw_matches += best_stats.raw_matches
-        return _score_from_stats(agg), scores
+        return _score_from_stats(agg, params), scores

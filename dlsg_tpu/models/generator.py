@@ -49,8 +49,8 @@ class CapGnnModel(nn.Module):
         """Encoder only (deterministic) — used by the beam-decode path."""
         return self.encoder(visual_feats, region_feats, True)
 
-    def decoder_beam_step(self, word_id, state, feats, feats2, global_feat):
-        return self.decoder.beam_step(word_id, state, feats, feats2, global_feat)
+    def decoder_beam_step(self, word_id, state, pre):
+        return self.decoder.beam_step(word_id, state, pre)
 
     def decoder_init_beam_state(self, feats, feats2):
         return self.decoder.init_beam_state(feats, feats2)

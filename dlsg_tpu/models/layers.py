@@ -101,6 +101,12 @@ class AttentionShare(nn.Module):
 
     Returns (context [B, out], alpha [B, P]) where alpha are the attention
     weights over the P proposals — they feed the discriminator (SURVEY §3.3).
+
+    TPU design: the K/V projections depend only on `meta_state` (the proposal
+    tensor), which is LOOP-INVARIANT across the 26 decode steps — `precompute`
+    lifts them out of the scan so each step pays only the Q projection and two
+    tiny einsums (the reference recomputes K/V inside every step's attention
+    call, sublayer.py:31-33 via layer.py:581-585).
     """
 
     input_value_size: int
@@ -109,11 +115,21 @@ class AttentionShare(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, meta_state, hidden_previous, deterministic: bool = True):
-        K = nn.Dense(self.output_size, use_bias=False, dtype=self.dtype, name="K")(meta_state)
-        q = nn.Dense(self.output_size, use_bias=False, dtype=self.dtype, name="Q")(hidden_previous)
-        V = nn.Dense(self.output_size, use_bias=False, dtype=self.dtype, name="V")(meta_state)
+    def setup(self):
+        self.K_proj = nn.Dense(self.output_size, use_bias=False, dtype=self.dtype, name="K")
+        self.Q_proj = nn.Dense(self.output_size, use_bias=False, dtype=self.dtype, name="Q")
+        self.V_proj = nn.Dense(self.output_size, use_bias=False, dtype=self.dtype, name="V")
+        self.out_proj = nn.Dense(self.output_size, use_bias=False, dtype=self.dtype, name="out")
+        self.ln = nn.LayerNorm(name="ln")
+        self.drop = nn.Dropout(self.dropout)
+
+    def precompute(self, meta_state):
+        """Project the loop-invariant proposal tensor once: (K, V) [B, P, out]."""
+        return self.K_proj(meta_state), self.V_proj(meta_state)
+
+    def attend(self, K, V, hidden_previous, deterministic: bool = True):
+        """One attention step over precomputed K/V."""
+        q = self.Q_proj(hidden_previous)
         logits = jnp.einsum(
             "bpa,ba->bp", K, q, preferred_element_type=jnp.float32
         ) / math.sqrt(self.output_size)
@@ -122,12 +138,16 @@ class AttentionShare(nn.Module):
             "bp,bpa->ba", alpha.astype(self.dtype), V,
             preferred_element_type=jnp.float32,
         )
-        context = nn.Dense(self.output_size, use_bias=False, dtype=self.dtype, name="out")(context)
+        context = self.out_proj(context)
         context = context.astype(jnp.float32)
         context = jnp.tanh(context)
-        context = nn.LayerNorm(name="ln")(context)
-        context = nn.Dropout(self.dropout)(context, deterministic=deterministic)
+        context = self.ln(context)
+        context = self.drop(context, deterministic=deterministic)
         return context, alpha
+
+    def __call__(self, meta_state, hidden_previous, deterministic: bool = True):
+        K, V = self.precompute(meta_state)
+        return self.attend(K, V, hidden_previous, deterministic)
 
 
 class LatentPSL(nn.Module):

@@ -57,6 +57,14 @@ def load() -> Optional[ctypes.CDLL]:
         lib.dlsg_meteor_stats.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_double),
         ]
+        lib.dlsg_meteor_load_synonyms.restype = ctypes.c_int
+        lib.dlsg_meteor_load_synonyms.argtypes = [ctypes.c_char_p]
+        # install the same default synonym table the Python METEOR uses
+        syn = os.path.join(
+            os.path.dirname(_HERE), "metrics", "data", "synonyms.txt"
+        )
+        if os.path.exists(syn):
+            lib.dlsg_meteor_load_synonyms(syn.encode())
         _lib = lib
     except OSError:
         _lib = None

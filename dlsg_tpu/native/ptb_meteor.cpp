@@ -11,11 +11,15 @@
 // Build: `make -C dlsg_tpu/native` (g++ -O2 -shared -fPIC).
 
 #include <algorithm>
+#include <array>
 #include <cctype>
 #include <cstring>
+#include <fstream>
+#include <map>
 #include <set>
 #include <sstream>
 #include <string>
+#include <tuple>
 #include <vector>
 
 namespace {
@@ -400,12 +404,15 @@ std::string porter2(std::string w) {
 }
 
 // ---------------------------------------------------------------------------
-// METEOR aligner — mirrors dlsg_tpu/metrics/meteor.py (exact + stem stages;
-// the paraphrase table stays on the Python side)
+// METEOR aligner — mirrors dlsg_tpu/metrics/meteor.py exactly: exact > stem >
+// synonym stages, then the official beam search over partial alignments
+// (maximize matches, minimize chunks, minimize distance; beam 40), including
+// the Python side's deterministic matchlist tie-break.
 // ---------------------------------------------------------------------------
 
-const double STAGE_WEIGHTS[2] = {1.0, 0.6};
+const double STAGE_WEIGHTS[3] = {1.0, 0.6, 0.8};
 const double DELTA = 0.75;
+const int BEAM_WIDTH = 40;
 
 const std::set<std::string>& function_words() {
   static std::set<std::string> fw = {
@@ -434,6 +441,100 @@ std::vector<std::string> split_ws(const std::string& s) {
   return out;
 }
 
+// word -> synonym set (loaded from the shipped synonyms.txt via
+// dlsg_meteor_load_synonyms; symmetric by construction)
+std::map<std::string, std::set<std::string>>& synonym_table() {
+  static std::map<std::string, std::set<std::string>> table;
+  return table;
+}
+
+bool syn_hit(const std::string& a, const std::string& b) {
+  const auto& tab = synonym_table();
+  auto it = tab.find(a);
+  if (it != tab.end() && it->second.count(b)) return true;
+  it = tab.find(b);
+  return it != tab.end() && it->second.count(a);
+}
+
+// Stage 2 looks up both surface forms and stems (the table lists lemmas;
+// METEOR's WordNet stage likewise lemmatizes before synset lookup).
+int match_stage(const std::string& h, const std::string& r,
+                const std::string& hs, const std::string& rs) {
+  if (h == r) return 0;
+  if (hs == rs) return 1;
+  if (syn_hit(h, r) || syn_hit(hs, rs)) return 2;
+  return -1;
+}
+
+struct AlignState {
+  unsigned long long used;  // ref bitmask (ref length capped at 64)
+  int last_i, last_j;
+  int matches, chunks;
+  long dist;
+  std::vector<std::array<int, 3>> matchlist;  // (i, j, stage)
+
+  // METEOR objective + deterministic matchlist tie-break
+  // (mirrors meteor.py::_state_rank)
+  bool rank_less(const AlignState& o) const {
+    if (matches != o.matches) return matches > o.matches;
+    if (chunks != o.chunks) return chunks < o.chunks;
+    if (dist != o.dist) return dist < o.dist;
+    return matchlist < o.matchlist;
+  }
+};
+
+std::vector<std::array<int, 3>> beam_align(
+    const std::vector<std::string>& hyp, const std::vector<std::string>& ref) {
+  std::vector<std::string> hyp_stem(hyp.size()), ref_stem(ref.size());
+  for (size_t i = 0; i < hyp.size(); ++i) hyp_stem[i] = porter2(hyp[i]);
+  for (size_t j = 0; j < ref.size(); ++j) ref_stem[j] = porter2(ref[j]);
+
+  std::vector<std::vector<std::pair<int, int>>> cands(hyp.size());
+  for (size_t i = 0; i < hyp.size(); ++i)
+    for (size_t j = 0; j < ref.size() && j < 64; ++j) {
+      int s = match_stage(hyp[i], ref[j], hyp_stem[i], ref_stem[j]);
+      if (s >= 0) cands[i].push_back({(int)j, s});
+    }
+
+  std::vector<AlignState> beam = {{0ULL, -2, -2, 0, 0, 0, {}}};
+  for (size_t i = 0; i < hyp.size(); ++i) {
+    if (cands[i].empty()) continue;
+    // dedupe by (used, last_i, last_j), keeping the best-ranked state
+    std::map<std::tuple<unsigned long long, int, int>, AlignState> extended;
+    auto consider = [&](const AlignState& st) {
+      auto key = std::make_tuple(st.used, st.last_i, st.last_j);
+      auto it = extended.find(key);
+      if (it == extended.end() || st.rank_less(it->second)) extended[key] = st;
+    };
+    for (const auto& st : beam) {
+      consider(st);  // hyp[i] left unmatched
+      for (const auto& [j, s] : cands[i]) {
+        unsigned long long bit = 1ULL << j;
+        if (st.used & bit) continue;
+        AlignState nx = st;
+        nx.used |= bit;
+        nx.chunks += (st.last_i == (int)i - 1 && st.last_j == j - 1) ? 0 : 1;
+        nx.last_i = (int)i;
+        nx.last_j = j;
+        nx.matches += 1;
+        nx.dist += std::labs((long)i - (long)j);
+        nx.matchlist.push_back({(int)i, j, s});
+        consider(nx);
+      }
+    }
+    beam.clear();
+    for (auto& kv : extended) beam.push_back(std::move(kv.second));
+    std::sort(beam.begin(), beam.end(),
+              [](const AlignState& a, const AlignState& b) { return a.rank_less(b); });
+    if ((int)beam.size() > BEAM_WIDTH) beam.resize(BEAM_WIDTH);
+  }
+
+  const AlignState* best = &beam[0];
+  for (const auto& st : beam)
+    if (st.rank_less(*best)) best = &st;
+  return best->matchlist;
+}
+
 }  // namespace
 
 extern "C" {
@@ -457,58 +558,51 @@ int dlsg_porter2_stem(const char* word, char* out, int cap) {
   return n;
 }
 
+// Load the synonym groups file (same format as metrics/data/synonyms.txt).
+// Returns the number of distinct words in the table, or -1 on error.
+int dlsg_meteor_load_synonyms(const char* path) {
+  if (!path) return -1;
+  std::ifstream f(path);
+  if (!f) return -1;
+  auto& table = synonym_table();
+  table.clear();
+  std::string line;
+  while (std::getline(f, line)) {
+    size_t hash = line.find('#');
+    if (hash != std::string::npos) line.resize(hash);
+    std::vector<std::string> words = split_ws(line);
+    if (words.size() < 2) continue;
+    for (const auto& w : words)
+      for (const auto& x : words)
+        if (w != x) table[w].insert(x);
+  }
+  return (int)table.size();
+}
+
 // METEOR segment statistics for hyp vs one ref (both space-tokenized).
 // stats[6] = {wp_num, wp_den, wr_num, wr_den, chunks, matches}.
-// Greedy stage-priority alignment identical to metrics/meteor.py::_align.
+// Beam-search alignment identical to metrics/meteor.py::_align.
+// Returns -1 when the pair exceeds the native fast path's limits (ref > 64
+// words) so the caller falls back to the Python implementation.
 int dlsg_meteor_stats(const char* hyp_s, const char* ref_s, double* stats) {
   if (!hyp_s || !ref_s || !stats) return -1;
   std::vector<std::string> hyp = split_ws(hyp_s), ref = split_ws(ref_s);
-  std::vector<std::string> hyp_stem(hyp.size()), ref_stem(ref.size());
-  for (size_t i = 0; i < hyp.size(); ++i) hyp_stem[i] = porter2(hyp[i]);
-  for (size_t j = 0; j < ref.size(); ++j) ref_stem[j] = porter2(ref[j]);
+  if (ref.size() > 64) return -1;  // bitmask limit; Python handles the rest
 
-  std::vector<bool> used_h(hyp.size(), false), used_r(ref.size(), false);
-  struct Match { int i, j, stage; };
-  std::vector<Match> matches;
-  for (int stage = 0; stage < 2; ++stage) {
-    for (size_t i = 0; i < hyp.size(); ++i) {
-      if (used_h[i]) continue;
-      int best_j = -1;
-      long best_dist = 1L << 60;
-      for (size_t j = 0; j < ref.size(); ++j) {
-        if (used_r[j]) continue;
-        // first matching stage must equal `stage` (priority semantics)
-        int first_stage = -1;
-        if (hyp[i] == ref[j]) first_stage = 0;
-        else if (hyp_stem[i] == ref_stem[j]) first_stage = 1;
-        if (first_stage == stage) {
-          long d = std::labs((long)i - (long)j);
-          if (d < best_dist) { best_j = (int)j; best_dist = d; }
-        }
-      }
-      if (best_j >= 0) {
-        used_h[i] = used_r[best_j] = true;
-        matches.push_back({(int)i, best_j, stage});
-      }
-    }
-  }
-  std::sort(matches.begin(), matches.end(),
-            [](const Match& a, const Match& b) {
-              return a.i < b.i || (a.i == b.i && a.j < b.j);
-            });
+  std::vector<std::array<int, 3>> matches = beam_align(hyp, ref);
 
   double wp_num = 0, wr_num = 0, wp_den = 0, wr_den = 0;
   for (const auto& m : matches) {
-    wp_num += STAGE_WEIGHTS[m.stage] * word_weight(hyp[m.i]);
-    wr_num += STAGE_WEIGHTS[m.stage] * word_weight(ref[m.j]);
+    wp_num += STAGE_WEIGHTS[m[2]] * word_weight(hyp[m[0]]);
+    wr_num += STAGE_WEIGHTS[m[2]] * word_weight(ref[m[1]]);
   }
   for (const auto& w : hyp) wp_den += word_weight(w);
   for (const auto& w : ref) wr_den += word_weight(w);
 
   int chunks = matches.empty() ? 0 : 1;
   for (size_t k = 1; k < matches.size(); ++k) {
-    if (!(matches[k].i == matches[k - 1].i + 1 &&
-          matches[k].j == matches[k - 1].j + 1))
+    if (!(matches[k][0] == matches[k - 1][0] + 1 &&
+          matches[k][1] == matches[k - 1][1] + 1))
       ++chunks;
   }
   if (!matches.empty() && chunks == 1 && matches.size() == hyp.size() &&

@@ -77,6 +77,41 @@ class LSTMCell(nn.Module):
         return lstm_step(xw, h, c, w_hh, self.dtype)
 
 
+class SplitInputLSTMCell(nn.Module):
+    """LSTMCell whose input projection is split into a per-step (dynamic) part
+    and a loop-invariant (static) part precomputed once outside the scan.
+
+    Mathematically identical to LSTMCell over the concatenated input —
+    `[x_dyn, x_static] @ W == x_dyn @ W_dyn + x_static @ W_static` — but the
+    static matmul (e.g. the decoder's global visual feature, which never
+    changes across the 26 decode steps, layer.py:574-576) runs ONCE instead of
+    per step. Used by the decoder's query LSTM.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.ih_dyn = nn.Dense(4 * self.features, dtype=self.dtype, name="ih_dyn")
+        self.ih_static = nn.Dense(
+            4 * self.features, use_bias=False, dtype=self.dtype, name="ih_static"
+        )
+        self.w_hh = self.param(
+            "w_hh",
+            nn.initializers.orthogonal(),
+            (self.features, 4 * self.features),
+            jnp.float32,
+        )
+
+    def project_static(self, x_static):
+        """Precompute the loop-invariant slice of the input projection."""
+        return self.ih_static(x_static)  # [B, 4H]
+
+    def __call__(self, x_dyn, xw_static, h, c):
+        xw = self.ih_dyn(x_dyn).astype(jnp.float32) + xw_static.astype(jnp.float32)
+        return lstm_step(xw, h, c, self.w_hh, self.dtype)
+
+
 class LSTMSequence(nn.Module):
     """Unidirectional LSTM over a full sequence via lax.scan.
 

@@ -99,6 +99,111 @@ def test_meteor_corpus_api():
     assert all(0.0 <= s <= 1.0 for s in per)
 
 
+def test_meteor_synonym_stage_by_default():
+    """The shipped synonym table drives stage 3: 'guy slicing'/'man cutting'
+    must score well above the same pair with synonyms disabled."""
+    from dlsg_tpu.metrics.meteor import set_paraphrase_table
+
+    hyp = "a guy is slicing a tomato"
+    refs = ["a man is cutting a tomato"]
+    with_syn = score_pair(hyp, refs)
+    set_paraphrase_table({})  # disable stage 3
+    try:
+        without = score_pair(hyp, refs)
+    finally:
+        set_paraphrase_table(None)  # restore the default table
+    assert with_syn > without + 0.15, (with_syn, without)
+    assert with_syn > 0.8
+
+
+def test_meteor_aligner_minimizes_chunks():
+    """The beam aligner must prefer the 1-chunk alignment when a duplicated
+    ref word offers an equal-cardinality but fragmented alternative — the
+    failure mode of a greedy positional matcher."""
+    from dlsg_tpu.metrics.meteor import _align, _count_chunks
+
+    matches = _align("a b c".split(), "b a b c".split(), table={})
+    assert len(matches) == 3
+    assert _count_chunks(matches) == 1
+    assert matches == [(0, 1, 0), (1, 2, 0), (2, 3, 0)]
+
+
+def test_meteor_matches_nltk_reference():
+    """Independent validation of the scoring engine: configured with NLTK's
+    METEOR parameters (alpha=.9 beta=3 gamma=.5, uniform word/stage weights,
+    exact+stem only), our implementation must reproduce
+    nltk.translate.meteor_score on fixtures where the maximal alignment is
+    what both aligners find."""
+    pytest.importorskip("nltk")
+    from nltk.translate import meteor_score as nltk_ms
+
+    from dlsg_tpu.metrics.meteor import (
+        MeteorParams,
+        _score_from_stats,
+        _segment_stats,
+        set_paraphrase_table,
+    )
+    from dlsg_tpu.metrics.stemmer import porter2_stem
+
+    class StubWordnet:  # no synonym data: exact+stem only
+        def synsets(self, word):
+            return []
+
+    class P2Stemmer:  # make nltk stem exactly like us
+        def stem(self, w):
+            return porter2_stem(w)
+
+    # delta=0.5 makes word weights uniform (P = matches/len); uniform stage
+    # weights make weighted counts equal raw counts
+    params = MeteorParams(alpha=0.9, beta=3.0, gamma=0.5, delta=0.5, weights=(1.0, 1.0))
+    # each matchable word appears once per sentence, so every maximal aligner
+    # finds the same matching — isolating the scoring formula under test
+    # (nltk's greedy matcher picks the LAST equal ref word, a provably worse
+    # alignment on ambiguous inputs; see test_meteor_aligner_minimizes_chunks)
+    fixtures = [
+        ("the quick brown fox leaps over one lazy dog",
+         "the quick brown fox jumped over that lazy dog"),
+        ("a man plays his guitar on stage",
+         "the man is playing some guitar"),
+        ("children running in the park",
+         "kids are running through a park"),
+        ("the chef slices onions quickly",
+         "a chef slicing an onion"),
+        ("a dog chases the ball",
+         "the dog chased a red ball"),
+        ("this is an utterly unrelated sentence",
+         "cats sleep on warm windowsills"),
+    ]
+    set_paraphrase_table({})
+    try:
+        for hyp, ref in fixtures:
+            ours = _score_from_stats(
+                _segment_stats(hyp.split(), ref.split(), params), params
+            )
+            theirs = nltk_ms.single_meteor_score(
+                ref.split(), hyp.split(),
+                stemmer=P2Stemmer(), wordnet=StubWordnet(),
+                alpha=0.9, beta=3.0, gamma=0.5,
+            )
+            assert ours == pytest.approx(theirs, abs=1e-9), (hyp, ours, theirs)
+    finally:
+        set_paraphrase_table(None)
+
+
+def test_meteor_default_goldens_locked():
+    """Behavior lock at METEOR 1.5 English defaults: any change to the
+    aligner, parameters, weights, or the shipped synonym table shows up here."""
+    cases = {
+        ("a man is playing a guitar", "a man is playing a guitar"): 1.0,
+        ("a man plays a guitar", "a man is playing a guitar"): 0.4138892,
+        ("a guy is slicing a tomato", "a man is cutting a tomato"): 0.9,
+        ("purple elephants fly quickly", "a man is playing a guitar"): 0.0,
+    }
+    for (hyp, ref), expect in cases.items():
+        got = score_pair(hyp, [ref])
+        assert got == pytest.approx(expect, abs=2e-7), (hyp, got)
+
+
 def test_stemmer_cases():
     cases = {
         "running": "run",

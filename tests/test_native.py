@@ -84,6 +84,33 @@ def test_meteor_stats_equivalence(monkeypatch):
             )
 
 
+def test_meteor_beam_aligner_fuzz_equivalence(monkeypatch):
+    """Randomized hyp/ref pairs over a vocabulary rich in duplicates, stems,
+    and synonym-table words must produce bit-identical stats from the C++ and
+    Python beam aligners (same matches, chunks, and tie-breaking)."""
+    import random
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    vocab = (
+        "a the man guy woman dog cat runs running run walks walking quickly "
+        "slow slices cutting cuts chop guitar piano plays playing ball park "
+        "kid child children is are and on in big large small"
+    ).split()
+    rng = random.Random(7)
+    for _ in range(200):
+        hyp = " ".join(rng.choices(vocab, k=rng.randint(1, 14)))
+        ref = " ".join(rng.choices(vocab, k=rng.randint(1, 14)))
+        nat = meteor_mod._segment_stats(hyp.split(), ref.split())
+        monkeypatch.setattr(native, "meteor_stats", lambda a, b: None)
+        py = meteor_mod._segment_stats(hyp.split(), ref.split())
+        monkeypatch.undo()
+        for attr in ("wp_num", "wp_den", "wr_num", "wr_den", "chunks", "raw_matches"):
+            assert getattr(nat, attr) == pytest.approx(getattr(py, attr), abs=1e-12), (
+                hyp, ref, attr, getattr(nat, attr), getattr(py, attr),
+            )
+
+
 def test_native_meteor_score_sanity():
     score = meteor_mod.score_pair(
         "a man is playing a guitar", ["a man is playing a guitar"]
