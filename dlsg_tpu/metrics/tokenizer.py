@@ -28,6 +28,14 @@ _CONTRACTIONS = re.compile(
     re.IGNORECASE,
 )
 
+# Common abbreviations whose trailing period stays attached (corenlp keeps
+# lexicon abbreviations as single tokens; this is the caption-relevant subset).
+ABBREVIATIONS = frozenset(
+    """dr. mr. mrs. ms. st. jr. sr. prof. gen. gov. sgt. capt. rev. hon.
+    u.s. u.k. e.g. i.e. etc. ft. lb. lbs. oz. vs. v. co. inc. ltd. no.
+    dept. approx. min. max. sec. hr. a.m. p.m.""".split()
+)
+
 
 def ptb_tokenize_line(line: str, lowercase: bool = True) -> List[str]:
     """Tokenize one sentence with PTB rules (corenlp PTBTokenizer subset).
@@ -72,20 +80,43 @@ def ptb_tokenize_line(line: str, lowercase: bool = True) -> List[str]:
     # separate ellipses and double dashes first
     s = s.replace("...", " ... ").replace("--", " -- ")
 
-    # split off punctuation that isn't part of a number/abbreviation
-    s = re.sub(r"([,;:@#$%&?!])", r" \1 ", s)
-    # final period (and any period followed by space/eos) becomes a token
-    s = re.sub(r"\.(?=\s|$)", " . ", s)
+    # opening single quote -> ` (corenlp directional quotes); must run before
+    # the clitic rules so "'s" etc. stay intact
+    s = re.sub(r"(^|(?<=\s))'(?=\w)", "` ", s)
+
+    # split off punctuation; , and : stay inside numbers (2,500 / 10:30) and
+    # & stays inside compounds (a&b), like corenlp
+    s = re.sub(r"([;@#$%?!])", r" \1 ", s)
+    s = re.sub(r"(?<!\w)&|&(?!\w)", " & ", s)
+    s = re.sub(r"(?<!\d),|,(?!\d)", " , ", s)
+    s = re.sub(r"(?<!\d):|:(?!\d)", " : ", s)
 
     # clitics: don't -> do n't; it's -> it 's; we'll -> we 'll; etc.
     s = re.sub(r"\b(\w+)(n't)\b", r"\1 \2", s)
     s = re.sub(r"(\w)('s|'re|'ve|'ll|'d|'m)\b", r"\1 \2", s)
     # possessive plural: dogs' -> dogs '
     s = re.sub(r"(s)'(\s|$)", r"\1 ' \2", s)
+    # closing single quote after a word: expert' -> expert '
+    s = re.sub(r"(?<=\w)'(?=\s|$)", " '", s)
 
     s = _CONTRACTIONS.sub(lambda m: " ".join(g for g in m.groups() if g), s)
 
-    return s.split()
+    # final pass: a trailing period becomes its own token unless the token is
+    # a known abbreviation, a single initial (b.), or an ellipsis
+    toks: List[str] = []
+    for tok in s.split():
+        if (
+            len(tok) > 1
+            and tok.endswith(".")
+            and not all(c == "." for c in tok)
+            and tok not in ABBREVIATIONS
+            and not (len(tok) == 2 and tok[0].isalpha())
+        ):
+            toks.append(tok[:-1])
+            toks.append(".")
+        else:
+            toks.append(tok)
+    return toks
 
 
 def tokenize_captions(

@@ -53,13 +53,13 @@ std::string ptb_tokenize(const std::string& line, bool lowercase) {
   s = replace_all(s, "[", " -LRB- ");
   s = replace_all(s, "]", " -RRB- ");
 
-  // double quotes: opening after start/space -> ``, else ''
+  // double quotes: opening after start/space -> ``, else '' (the check reads
+  // the ORIGINAL string, like python's re.sub left-to-right scan)
   {
     std::string out;
     for (size_t i = 0; i < s.size(); ++i) {
       if (s[i] == '"') {
-        bool opening = (i == 0) ||
-                       (!out.empty() && (out.back() == ' ' || out.back() == '\t'));
+        bool opening = (i == 0) || s[i - 1] == ' ' || s[i - 1] == '\t';
         out += opening ? " `` " : " '' ";
       } else {
         out += s[i];
@@ -71,30 +71,45 @@ std::string ptb_tokenize(const std::string& line, bool lowercase) {
   s = replace_all(s, "...", " ... ");
   s = replace_all(s, "--", " -- ");
 
-  // split punctuation [,;:@#$%&?!]
+  // opening single quote -> ` (before the clitic rules so "'s" stays intact)
   {
     std::string out;
-    const std::string punct = ",;:@#$%&?!";
-    for (char c : s) {
-      if (punct.find(c) != std::string::npos) {
-        out += ' ';
-        out += c;
-        out += ' ';
+    for (size_t i = 0; i < s.size(); ++i) {
+      if (s[i] == '\'' && (i == 0 || std::isspace((unsigned char)s[i - 1])) &&
+          i + 1 < s.size() && is_word(s[i + 1])) {
+        out += "` ";
       } else {
-        out += c;
+        out += s[i];
       }
     }
     s = out;
   }
 
-  // period before whitespace/eos becomes a token
+  // split punctuation; , and : stay inside numbers (2,500 / 10:30) and &
+  // stays inside compounds (a&b), like corenlp
   {
     std::string out;
+    const std::string punct = ";@#$%?!";
     for (size_t i = 0; i < s.size(); ++i) {
-      if (s[i] == '.' && (i + 1 == s.size() || std::isspace((unsigned char)s[i + 1]))) {
-        out += " . ";
+      char c = s[i];
+      bool split = false;
+      if (punct.find(c) != std::string::npos) {
+        split = true;
+      } else if (c == '&') {
+        bool wb = i > 0 && is_word(s[i - 1]);
+        bool wa = i + 1 < s.size() && is_word(s[i + 1]);
+        split = !(wb && wa);
+      } else if (c == ',' || c == ':') {
+        bool db = i > 0 && std::isdigit((unsigned char)s[i - 1]);
+        bool da = i + 1 < s.size() && std::isdigit((unsigned char)s[i + 1]);
+        split = !(db && da);
+      }
+      if (split) {
+        out += ' ';
+        out += c;
+        out += ' ';
       } else {
-        out += s[i];
+        out += c;
       }
     }
     s = out;
@@ -151,6 +166,13 @@ std::string ptb_tokenize(const std::string& line, bool lowercase) {
         i += 1;
         continue;
       }
+      // closing single quote after a word: expert' -> expert '
+      if (s[i] == '\'' && i > 0 && is_word(s[i - 1]) &&
+          (i + 1 == s.size() || std::isspace((unsigned char)s[i + 1]))) {
+        out += " '";
+        i += 1;
+        continue;
+      }
       out += s[i];
       ++i;
     }
@@ -185,12 +207,29 @@ std::string ptb_tokenize(const std::string& line, bool lowercase) {
     s = out;
   }
 
-  // normalize whitespace
+  // final pass: a trailing period becomes its own token unless the token is
+  // a known abbreviation, a single initial (b.), or an ellipsis
+  static const std::set<std::string> kAbbrev = {
+      "dr.", "mr.", "mrs.", "ms.", "st.", "jr.", "sr.", "prof.", "gen.",
+      "gov.", "sgt.", "capt.", "rev.", "hon.", "u.s.", "u.k.", "e.g.",
+      "i.e.", "etc.", "ft.", "lb.", "lbs.", "oz.", "vs.", "v.", "co.",
+      "inc.", "ltd.", "no.", "dept.", "approx.", "min.", "max.", "sec.",
+      "hr.", "a.m.", "p.m."};
   std::istringstream iss(s);
   std::string tok, out;
-  while (iss >> tok) {
+  auto emit = [&out](const std::string& t) {
     if (!out.empty()) out += ' ';
-    out += tok;
+    out += t;
+  };
+  while (iss >> tok) {
+    bool all_dots = tok.find_first_not_of('.') == std::string::npos;
+    if (tok.size() > 1 && tok.back() == '.' && !all_dots && !kAbbrev.count(tok) &&
+        !(tok.size() == 2 && std::isalpha((unsigned char)tok[0]))) {
+      emit(tok.substr(0, tok.size() - 1));
+      emit(".");
+    } else {
+      emit(tok);
+    }
   }
   return out;
 }

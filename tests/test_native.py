@@ -4,6 +4,7 @@ import pytest
 
 from dlsg_tpu import native
 from dlsg_tpu.metrics import meteor as meteor_mod
+from dlsg_tpu.metrics import tokenizer as t
 from dlsg_tpu.metrics.stemmer import porter2_stem
 
 pytestmark = pytest.mark.skipif(
@@ -82,6 +83,47 @@ def test_meteor_stats_equivalence(monkeypatch):
             assert getattr(nat, attr) == pytest.approx(getattr(py, attr)), (
                 hyp, ref, attr, getattr(nat, attr), getattr(py, attr),
             )
+
+
+def test_tokenizer_corpus_lock(monkeypatch):
+    """~100-sentence caption-domain corpus (abbreviations, decimals, hyphens,
+    possessives, quotes, brackets, clitics, number-internal ,/:) with locked
+    expected tokenizations — run through BOTH the Python and C++ paths."""
+    import os
+
+    corpus = os.path.join(os.path.dirname(__file__), "fixtures", "tokenizer_corpus.tsv")
+    cases = [l.rstrip("\n").split("\t") for l in open(corpus)]
+    assert len(cases) >= 100
+    for sent, expect in cases:
+        toks = expect.split(" ") if expect else []
+        if native.available() and sent.isascii():
+            assert t.ptb_tokenize_line(sent) == toks, ("native", sent)
+        monkeypatch.setattr(native, "ptb_tokenize", lambda s, lowercase=True: None)
+        assert t.ptb_tokenize_line(sent) == toks, ("python", sent)
+        monkeypatch.undo()
+
+
+def test_tokenizer_fuzz_python_cpp_identity(monkeypatch):
+    """Random ASCII strings: the C++ tokenizer must equal the Python one."""
+    import random
+    import string
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    alphabet = string.ascii_lowercase + string.digits + " .,;:!?'\"()-&%$#@{}[]"
+    rng = random.Random(3)
+    words = ["don't", "it's", "u.s.", "2,500", "10:30", "a&b", "...", "--",
+             "cat", "dog's", "dogs'", "(hi)", '"q"', "'x'", "e.g.", "3.5"]
+    for _ in range(300):
+        if rng.random() < 0.5:
+            s = "".join(rng.choices(alphabet, k=rng.randint(0, 60)))
+        else:
+            s = " ".join(rng.choices(words, k=rng.randint(1, 12)))
+        nat = t.ptb_tokenize_line(s)
+        monkeypatch.setattr(native, "ptb_tokenize", lambda x, lowercase=True: None)
+        py = t.ptb_tokenize_line(s)
+        monkeypatch.undo()
+        assert nat == py, (repr(s), nat, py)
 
 
 def test_meteor_beam_aligner_fuzz_equivalence(monkeypatch):
