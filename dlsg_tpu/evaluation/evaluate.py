@@ -110,12 +110,19 @@ def _jit_decode(decode, mesh) -> Callable:
     n_data = mesh.shape[DATA_AXIS]
 
     def wrapper(variables, frames, regions):
-        assert frames.shape[0] % n_data == 0, (
-            f"eval batch {frames.shape[0]} must divide the data axis ({n_data})"
-        )
+        # pad the batch up to a multiple of the data axis (static at trace
+        # time), decode sharded, slice the padding back off on the way out
+        B = frames.shape[0]
+        pad = (-B) % n_data
+        if pad:
+            frames = jnp.concatenate([frames, jnp.zeros((pad,) + frames.shape[1:], frames.dtype)])
+            regions = jnp.concatenate([regions, jnp.zeros((pad,) + regions.shape[1:], regions.dtype)])
         frames = jax.lax.with_sharding_constraint(frames, bsh)
         regions = jax.lax.with_sharding_constraint(regions, bsh)
-        return decode(variables, frames, regions)
+        out = decode(variables, frames, regions)
+        if pad:
+            out = jax.tree_util.tree_map(lambda t: t[:B], out)
+        return out
 
     return jax.jit(wrapper)
 

@@ -14,13 +14,17 @@ def test_meteor_paraphrase_stage():
     """Installing a paraphrase table enables the third match stage
     (the reference's meteor-1.5 paraphrase data, weight 0.6)."""
     refs = ["a man rides a bike"]
-    without = score_pair("a man rides a bicycle", refs)
-    set_paraphrase_table({"bicycle": ["bike"]})
     try:
+        set_paraphrase_table({})  # disable stage 3 entirely
+        without = score_pair("a man rides a bicycle", refs)
+        set_paraphrase_table({"bicycle": ["bike"]})
         with_par = score_pair("a man rides a bicycle", refs)
+        set_paraphrase_table(None)  # shipped default table covers bike/bicycle too
+        with_default = score_pair("a man rides a bicycle", refs)
     finally:
-        set_paraphrase_table({})
+        set_paraphrase_table(None)
     assert with_par > without
+    assert with_default == with_par
 
 
 def test_psl_score_v1(tiny_cfg):
