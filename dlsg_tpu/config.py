@@ -105,6 +105,9 @@ class DLSGConfig:
     # compute dtype for matmuls/activations; params stay fp32.
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
     use_pallas_lstm: bool = False  # fused VMEM-resident LSTM scan kernel (TPU)
+    # fused vocab-head kernel at decode (projection + top-k + logsumexp in one
+    # VMEM pass, ops/pallas/vocab_head.py): 'auto' = on when running on TPU
+    use_fused_vocab_head: str = "auto"  # 'auto' | 'on' | 'off'
     # surface decoder attention at eval and dump heatmaps (run_gun.py:455-465)
     plot_attention: bool = True
     seed: int = 12  # train_debug.py:34-42 seeds everything with 12

@@ -24,7 +24,23 @@ import numpy as np
 from dlsg_tpu.config import DLSGConfig
 from dlsg_tpu.metrics.scorer import COCOScorer
 from dlsg_tpu.ops.beam_search import beam_search
+from dlsg_tpu.ops.pallas.vocab_head import vocab_head_topk
 from dlsg_tpu.vocab import END_ID, START_ID, Vocabulary
+
+
+def _use_fused_head(cfg: DLSGConfig, mesh) -> bool:
+    """Fused vocab-head kernel policy.
+
+    'auto' currently resolves to OFF: on a v5e the kernel measured SLOWER than
+    the XLA projection+top_k+logsumexp chain it replaces (12.5 ms vs 6.7 ms
+    over 26 steps at G=640 — the iterative in-kernel top-k costs more VPU
+    passes than the logsumexp it saves; see BENCHMARKS.md "Fused vocab head").
+    'on' forces it (single-device only: under a mesh the decode is sharded by
+    XLA's partitioner, which cannot split a Mosaic custom call)."""
+    mode = getattr(cfg, "use_fused_vocab_head", "auto")
+    if mode != "on" or mesh is not None:
+        return False
+    return True
 
 
 def make_decode_fn(
@@ -61,6 +77,9 @@ def make_decode_fn(
 
         return _jit_decode(decode_greedy, mesh)
 
+    fused = _use_fused_head(cfg, mesh)
+    interpret = jax.default_backend() != "tpu"  # exercise the kernel on CPU tests
+
     def decode_beam(variables, frames, regions):
         obj, mot = model.apply(variables, frames, regions, method=model.encode)
         state, pre = model.apply(
@@ -72,12 +91,28 @@ def make_decode_fn(
         # them every one of the 26 steps
         pre_x = jax.tree_util.tree_map(lambda t: jnp.repeat(t, beam, 0), pre)
 
-        def step_fn(tokens, st):
-            # first step runs un-expanded on [B]
-            p = pre if tokens.shape[0] == B else pre_x
-            return model.apply(
-                variables, tokens, st, p, method=model.decoder_beam_step
-            )
+        if fused:
+            # vocab projection weights fetched + cast ONCE, outside the scan
+            wv, bv = model.apply(variables, method=model.decoder_vocab_head)
+
+            def step_fn(tokens, st):
+                p = pre if tokens.shape[0] == B else pre_x
+                hid, new_st, alpha = model.apply(
+                    variables, tokens, st, p, method=model.decoder_beam_step_hidden
+                )
+                vals, ids = vocab_head_topk(
+                    hid, wv, bv, beam, normalize=True, interpret=interpret
+                )
+                return vals, ids, new_st, alpha
+
+        else:
+
+            def step_fn(tokens, st):
+                # first step runs un-expanded on [B]
+                p = pre if tokens.shape[0] == B else pre_x
+                return model.apply(
+                    variables, tokens, st, p, method=model.decoder_beam_step
+                )
 
         start = jnp.full((B,), START_ID, jnp.int32)
         preds, log_probs, alphas = beam_search(
@@ -88,6 +123,7 @@ def make_decode_fn(
             max_steps=cfg.max_words,
             beam_size=beam,
             normalize=True,  # beam_step returns raw logits
+            sparse_step=fused,
         )
         # top beam == argmax log-prob (beam output is sorted)
         if return_alpha:

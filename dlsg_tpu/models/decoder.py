@@ -96,7 +96,7 @@ class DecoderStep(nn.Module):
             pre["K2"], pre["V2"] = self.context_att_2.precompute(feats2)
         return pre
 
-    def decode(
+    def decode_hidden(
         self,
         word,
         query_h,
@@ -106,6 +106,12 @@ class DecoderStep(nn.Module):
         pre,
         deterministic: bool = True,
     ):
+        """The step chain up to (but excluding) the vocab projection.
+
+        Returns (decoder_output [B, Hd], q_h, q_c, l_h, l_c, alpha). Split out
+        so the fused vocab-head kernel (ops/pallas/vocab_head.py) can consume
+        decoder_output directly without materializing [B, V] logits.
+        """
         q_h, q_c = self.query_lstm(
             jnp.concatenate([lang_h, word], axis=-1), pre["gw"], query_h, query_c
         )
@@ -124,6 +130,21 @@ class DecoderStep(nn.Module):
         l_h, l_c = self.lang_lstm(lang_input, lang_h, lang_c)
         l_h = self.lang_drop(l_h, deterministic=deterministic)
         decoder_output = jnp.tanh(self.lang_ln(l_h))
+        return decoder_output, q_h, q_c, l_h, l_c, alpha
+
+    def decode(
+        self,
+        word,
+        query_h,
+        query_c,
+        lang_h,
+        lang_c,
+        pre,
+        deterministic: bool = True,
+    ):
+        decoder_output, q_h, q_c, l_h, l_c, alpha = self.decode_hidden(
+            word, query_h, query_c, lang_h, lang_c, pre, deterministic
+        )
         word_logits = self.word_restore(decoder_output).astype(jnp.float32)
         return word_logits, q_h, q_c, l_h, l_c, alpha
 
@@ -268,6 +289,34 @@ class Decoder(nn.Module):
         # selected values (ops/beam_search.py normalize=True), avoiding a full
         # [G, V] log_softmax materialization per step
         return logits, {"qh": qh, "qc": qc, "lh": lh, "lc": lc}, alpha
+
+    def beam_step_hidden(self, word_id, state, pre):
+        """Like `beam_step` but stops at the pre-projection hidden state.
+
+        Returns (decoder_output [G, Hd], new_state, alpha [G, 2P]). The caller
+        runs the vocab projection + top-k itself — the fused vocab-head kernel
+        (ops/pallas/vocab_head.py) consumes decoder_output directly and never
+        materializes the [G, V] logits the reference pays for per step
+        (layer.py:540).
+        """
+        word = self.step.word_embed(word_id)
+        decoder_output, q_h, q_c, l_h, l_c, alpha = self.step.decode_hidden(
+            word,
+            state["qh"],
+            state["qc"],
+            state["lh"],
+            state["lc"],
+            pre,
+            deterministic=True,
+        )
+        return decoder_output, {"qh": q_h, "qc": q_c, "lh": l_h, "lc": l_c}, alpha
+
+    def vocab_head_weights(self):
+        """The vocab projection (kernel [Hd, V], bias [V]) in compute dtype,
+        for the fused head. Fetched OUTSIDE the decode scan so the fp32->bf16
+        cast runs once per decode, not once per step."""
+        p = self.step.word_restore.variables["params"]
+        return p["kernel"].astype(self.cfg.cdtype), p["bias"].astype(jnp.float32)
 
     def init_beam_state(self, feats, feats2):
         """Initial (state, pre) for beam search (layer.py:450-455)."""

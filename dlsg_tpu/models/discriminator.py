@@ -161,10 +161,10 @@ class DiscV2(nn.Module):
         alpha_all = alpha_all * word_mask[:, :, None]
         seq_mask_spl = jnp.repeat(word_mask[:, :, None], K, axis=2)  # [B, T, K]
 
-        obj_score = PSLScore2(P, K, name="obj_psl_score")(
+        obj_score = PSLScore2(P, K, dim=self.dim, name="obj_psl_score")(
             obj_proposals, alpha_all[:, :, :P], att_out, seq_mask_spl, deterministic
         )
-        motion_score = PSLScore2(P, K, name="motion_psl_score")(
+        motion_score = PSLScore2(P, K, dim=self.dim, name="motion_psl_score")(
             motion_proposals, alpha_all[:, :, -P:], att_out, seq_mask_spl, deterministic
         )
 

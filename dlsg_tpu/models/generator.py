@@ -52,6 +52,12 @@ class CapGnnModel(nn.Module):
     def decoder_beam_step(self, word_id, state, pre):
         return self.decoder.beam_step(word_id, state, pre)
 
+    def decoder_beam_step_hidden(self, word_id, state, pre):
+        return self.decoder.beam_step_hidden(word_id, state, pre)
+
+    def decoder_vocab_head(self):
+        return self.decoder.vocab_head_weights()
+
     def decoder_init_beam_state(self, feats, feats2):
         return self.decoder.init_beam_state(feats, feats2)
 

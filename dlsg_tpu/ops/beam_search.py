@@ -40,6 +40,7 @@ def beam_search(
     beam_size: int,
     per_node_beam_size: int | None = None,
     normalize: bool = False,
+    sparse_step: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run beam search.
 
@@ -51,6 +52,11 @@ def beam_search(
         side outputs (e.g. attention weights); when present, the aux of each
         surviving beam is reconstructed through the backpointers and returned.
         With `normalize=True`, step_fn may return RAW logits instead.
+        With `sparse_step=True`, step_fn instead returns
+        (top_vals [G, pnbs], top_ids [G, pnbs], state[, aux]) — already
+        log-softmax-normalized and sorted descending (the fused vocab-head
+        kernel's contract, ops/pallas/vocab_head.py) — and the [G, V] logits
+        never exist; pnbs must be >= beam_size.
       end_id: index of `<end>`.
       max_steps: total sequence length (reference: max_words=26).
       beam_size: beam width (reference default 5, opt.py:22).
@@ -71,19 +77,29 @@ def beam_search(
 
     # ---- first step: B -> B*beam expansion (allennlp_beamsearch.py:107-160) ----
     out0 = step_fn(start_tokens, init_state)
-    log_probs0, state = out0[0], out0[1]
-    has_aux = len(out0) > 2
-    aux0 = out0[2] if has_aux else None  # [B, ...], shared by all first beams
-    V = log_probs0.shape[-1]
-    start_top_lp, start_ids = jax.lax.top_k(log_probs0, beam_size)  # [B, beam]
-    if normalize:
-        start_top_lp = start_top_lp - jax.nn.logsumexp(log_probs0, axis=-1)[:, None]
+    if sparse_step:
+        vals0, ids0, state = out0[0], out0[1], out0[2]
+        has_aux = len(out0) > 3
+        aux0 = out0[3] if has_aux else None
+        pnbs = vals0.shape[-1]
+        assert pnbs >= beam_size, "sparse step must return >= beam_size candidates"
+        start_top_lp = vals0[:, :beam_size]  # already normalized + sorted
+        start_ids = ids0[:, :beam_size]
+    else:
+        log_probs0, state = out0[0], out0[1]
+        has_aux = len(out0) > 2
+        aux0 = out0[2] if has_aux else None  # [B, ...], shared by all first beams
+        V = log_probs0.shape[-1]
+        start_top_lp, start_ids = jax.lax.top_k(log_probs0, beam_size)  # [B, beam]
+        if normalize:
+            start_top_lp = start_top_lp - jax.nn.logsumexp(log_probs0, axis=-1)[:, None]
+        # one-hot row forcing <end> after a finished beam
+        # (allennlp_beamsearch.py:147-150)
+        after_end_row = jnp.full((V,), -jnp.inf).at[end_id].set(0.0)
     last_log_probs = start_top_lp
     state = jax.tree_util.tree_map(lambda t: _expand_to_beams(t, beam_size), state)
 
-    # one-hot row forcing <end> after a finished beam (allennlp_beamsearch.py:147-150)
-    after_end_row = jnp.full((V,), -jnp.inf).at[end_id].set(0.0)
-    # top-k image of after_end_row, used on the normalize path
+    # top-k image of the forced-<end> row, used on the normalize/sparse paths
     forced_vals = jnp.full((pnbs,), -jnp.inf).at[0].set(0.0)
     forced_ids = jnp.full((pnbs,), end_id, jnp.int32)
 
@@ -91,16 +107,23 @@ def beam_search(
         last_preds, last_lp, state = carry  # [B,beam], [B,beam], [B*beam,...]
         flat_preds = last_preds.reshape(B * beam_size)
         out = step_fn(flat_preds, state)  # [B*beam, V]
-        lp, new_state = out[0], out[1]
-        # aux is indexed by PARENT beam row (the row that was expanded)
-        aux = out[2].reshape(B, beam_size, *out[2].shape[1:]) if has_aux else ()
         ended = (flat_preds == end_id)[:, None]
-        if normalize:
+        if sparse_step:
+            vals, top_ids, new_state = out[0], out[1], out[2]
+            aux = out[3].reshape(B, beam_size, *out[3].shape[1:]) if has_aux else ()
+            top_lp = jnp.where(ended, forced_vals[None, :], vals)
+            top_ids = jnp.where(ended, forced_ids[None, :], top_ids)
+        elif normalize:
+            lp, new_state = out[0], out[1]
+            # aux is indexed by PARENT beam row (the row that was expanded)
+            aux = out[2].reshape(B, beam_size, *out[2].shape[1:]) if has_aux else ()
             vals, top_ids = jax.lax.top_k(lp, pnbs)  # [B*beam, pnbs]
             vals = vals - jax.nn.logsumexp(lp, axis=-1)[:, None]
             top_lp = jnp.where(ended, forced_vals[None, :], vals)
             top_ids = jnp.where(ended, forced_ids[None, :], top_ids)
         else:
+            lp, new_state = out[0], out[1]
+            aux = out[2].reshape(B, beam_size, *out[2].shape[1:]) if has_aux else ()
             cleaned = jnp.where(ended, after_end_row[None, :], lp)
             top_lp, top_ids = jax.lax.top_k(cleaned, pnbs)  # [B*beam, pnbs]
         summed = top_lp + last_lp.reshape(B * beam_size, 1)
