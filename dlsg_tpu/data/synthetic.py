@@ -99,3 +99,115 @@ class SyntheticEvalView:
             "spatials": self.ds.spatials[index],
             "video_ids": np.int32(index),
         }
+
+
+class StructuredSyntheticDataset(SyntheticDataset):
+    """Synthetic data where the caption is a FUNCTION of the features.
+
+    Each video belongs to one of `num_classes` latent classes. Videos are a
+    class prototype plus i.i.d. feature noise, and every video of a class
+    shares the class's fixed caption. Because captions are predictable from
+    features, a model that merely memorizes training videos fails on fresh
+    noise draws, while one that learned the feature->caption mapping succeeds
+    — this is the held-out generalization probe the plain SyntheticDataset
+    (random features, arbitrary captions) cannot provide.
+
+    `heldout_view()` returns an eval view over `heldout_per_class` UNSEEN
+    videos per class (new noise on the same prototypes); `references` /
+    `heldout_references` map video ids to the class captions.
+    """
+
+    def __init__(
+        self,
+        cfg: DLSGConfig,
+        vocab: Vocabulary,
+        num_classes: int = 4,
+        train_per_class: int = 4,
+        heldout_per_class: int = 2,
+        noise: float = 0.3,
+        caption_len: int = 5,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        rng = np.random.default_rng(seed)
+        T, F = cfg.max_frames, cfg.feature_size
+        O, R = cfg.num_obj, cfg.region_feature_size
+
+        proto_f = rng.normal(size=(num_classes, T, F)).astype(np.float32)
+        proto_r = rng.normal(size=(num_classes, T, O, R)).astype(np.float32)
+
+        def draw(klass):
+            f = proto_f[klass] + noise * rng.normal(size=(T, F)).astype(np.float32)
+            r = proto_r[klass] + noise * rng.normal(size=(T, O, R)).astype(np.float32)
+            return f.astype(np.float32), r.astype(np.float32)
+
+        # one fixed caption per class, distinct word sequences
+        word_ids = [vocab(w) for w in _WORDS]
+        class_tokens = []
+        for c in range(num_classes):
+            toks = rng.choice(word_ids, size=caption_len, replace=False).astype(np.int32)
+            class_tokens.append(toks)
+
+        n_train = num_classes * train_per_class
+        n_held = num_classes * heldout_per_class
+        self.frames = np.zeros((n_train + n_held, T, F), np.float32)
+        self.regions = np.zeros((n_train + n_held, T, O, R), np.float32)
+        self.spatials = rng.normal(
+            size=(n_train + n_held, T, O, cfg.spatial_feature_size)
+        ).astype(np.float32)
+        self.classes = np.zeros(n_train + n_held, np.int32)
+
+        self.samples = []
+        self.references = {}
+        self.heldout_references = {}
+        self._n_train = n_train
+        idx = 0
+        for c in range(num_classes):
+            toks = class_tokens[c]
+            sent = " ".join(vocab.idx2word[t] for t in toks)
+            cap = np.zeros(cfg.max_words, np.int32)
+            cap[: len(toks)] = toks
+            cap[len(toks)] = END_ID
+            for _ in range(train_per_class):
+                self.frames[idx], self.regions[idx] = draw(c)
+                self.classes[idx] = c
+                self.samples.append((idx, cap.copy(), len(toks) + 1))
+                self.references[str(idx)] = [sent]
+                idx += 1
+        for c in range(num_classes):
+            toks = class_tokens[c]
+            sent = " ".join(vocab.idx2word[t] for t in toks)
+            for _ in range(heldout_per_class):
+                self.frames[idx], self.regions[idx] = draw(c)
+                self.classes[idx] = c
+                self.heldout_references[str(idx)] = [sent]
+                idx += 1
+
+    def eval_view(self) -> "_RangeEvalView":
+        # only the TRAIN videos (the base class's view would also sweep the
+        # held-out rows, which have no entries in `references`)
+        return _RangeEvalView(self, 0, self._n_train)
+
+    def heldout_view(self) -> "_RangeEvalView":
+        return _RangeEvalView(self, self._n_train, self.frames.shape[0])
+
+
+class _RangeEvalView:
+    """Eval view over an index range [start, stop) of a synthetic dataset."""
+
+    def __init__(self, ds, start: int, stop: int):
+        self.ds = ds
+        self.start = start
+        self.stop = stop
+
+    def __len__(self) -> int:
+        return self.stop - self.start
+
+    def __getitem__(self, index: int):
+        i = self.start + index
+        return {
+            "frames": self.ds.frames[i],
+            "regions": self.ds.regions[i],
+            "spatials": self.ds.spatials[i],
+            "video_ids": np.int32(i),
+        }

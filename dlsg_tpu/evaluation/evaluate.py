@@ -23,6 +23,7 @@ import numpy as np
 
 from dlsg_tpu.config import DLSGConfig
 from dlsg_tpu.metrics.scorer import COCOScorer
+from dlsg_tpu.models.decoder import expand_pre_to_beams
 from dlsg_tpu.ops.beam_search import beam_search
 from dlsg_tpu.ops.pallas.vocab_head import vocab_head_topk
 from dlsg_tpu.vocab import END_ID, START_ID, Vocabulary
@@ -88,8 +89,8 @@ def make_decode_fn(
         B = obj.shape[0]
         # expand the precomputed loop invariants (attention K/V, global-feat
         # projection) to [B*beam] ONCE — doing it inside the step would copy
-        # them every one of the 26 steps
-        pre_x = jax.tree_util.tree_map(lambda t: jnp.repeat(t, beam, 0), pre)
+        # them every one of the 26 steps; fused weights stay un-expanded
+        pre_x = expand_pre_to_beams(pre, beam)
 
         if fused:
             # vocab projection weights fetched + cast ONCE, outside the scan
@@ -124,6 +125,7 @@ def make_decode_fn(
             beam_size=beam,
             normalize=True,  # beam_step returns raw logits
             sparse_step=fused,
+            fast_lse=True,  # decode logits are bounded; one pass not two
         )
         # top beam == argmax log-prob (beam output is sorted)
         if return_alpha:

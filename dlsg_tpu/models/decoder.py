@@ -22,6 +22,7 @@ TPU design:
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -30,8 +31,22 @@ from flax import linen as nn
 
 from dlsg_tpu.config import DLSGConfig
 from dlsg_tpu.models.layers import AttentionShare
-from dlsg_tpu.ops.lstm import LSTMCell, SplitInputLSTMCell
+from dlsg_tpu.ops.lstm import LSTMCell, SplitInputLSTMCell, lstm_gates
 from dlsg_tpu.vocab import START_ID
+
+
+# `pre` keys with a leading batch axis (expanded to [B*beam] for beam search);
+# every other key is a fused weight shared by all hypotheses
+BATCH_PRE_KEYS = ("gw", "K", "V")
+
+
+def expand_pre_to_beams(pre, beam_size: int):
+    """Expand only the batch-axis leaves of `pre` to the beam group; the fused
+    weight stacks (Wq/Wl/WQ/WO/Wv/...) are hypothesis-independent."""
+    return {
+        k: (jnp.repeat(v, beam_size, axis=0) if k in BATCH_PRE_KEYS else v)
+        for k, v in pre.items()
+    }
 
 
 class DecoderStep(nn.Module):
@@ -84,16 +99,56 @@ class DecoderStep(nn.Module):
         )
 
     def precompute(self, feats, feats2, global_feat):
-        """All loop-invariant projections, computed once per sequence.
+        """All loop-invariant work, computed once per sequence.
 
-        Returns a dict of tensors that ride through the scan as constants:
-        attention K/V for each branch and the global-feature part of the query
-        LSTM's input projection.
+        Beyond the attention K/V projections and the static slice of the query
+        LSTM's input projection, this builds the FUSED per-step weights —
+        `[W_ih; W_hh]` stacks for both LSTM cells, the two attention branches'
+        Q kernels side by side, their out kernels and LayerNorm affines
+        stacked on a branch axis, and the bf16-cast vocab projection — so the
+        scanned step runs ~5 large matmuls instead of ~12 small ones and every
+        fp32->bf16 weight cast happens here, once, not 26 times inside the
+        scan. All stacks are exact reassociations of the unchanged parameters
+        (concat-matmul == sum of split matmuls; batched == independent), so
+        the parameter tree, checkpoints, and the torch transliterator
+        (convert.py) are untouched.
         """
+        cfg = self.cfg
         pre = {"gw": self.query_lstm.project_static(global_feat)}
-        pre["K1"], pre["V1"] = self.context_att.precompute(feats)
+        K1, V1 = self.context_att.precompute(feats)
+        atts = [self.context_att]
+        Ks, Vs = [K1], [V1]
         if self.multi_modal:
-            pre["K2"], pre["V2"] = self.context_att_2.precompute(feats2)
+            K2, V2 = self.context_att_2.precompute(feats2)
+            atts.append(self.context_att_2)
+            Ks.append(K2)
+            Vs.append(V2)
+        # [B, NB, P, VH] — branch axis for batched attention
+        pre["K"] = jnp.stack(Ks, axis=1)
+        pre["V"] = jnp.stack(Vs, axis=1)
+
+        cd = cfg.cdtype
+        # query LSTM: [lang_h, word, qh] @ Wq in one matmul
+        pre["Wq"], pre["bq"] = self.query_lstm.fused_weights(
+            cfg.decode_hidden_size + cfg.word_size
+        )
+        # lang LSTM: [ctx..., query, lang_h] @ Wl in one matmul
+        nb = len(atts)
+        pre["Wl"], pre["bl"] = self.lang_lstm.fused_weights(
+            nb * cfg.visual_hidden_size + cfg.query_hidden_size
+        )
+        # attention per-step weights, branch-stacked
+        sw = [a.step_weights() for a in atts]
+        pre["WQ"] = jnp.concatenate([w[0] for w in sw], axis=1).astype(cd)  # [QH, NB*VH]
+        pre["WO"] = jnp.stack([w[1] for w in sw], axis=0).astype(cd)  # [NB, VH, VH]
+        pre["ln_scale"] = jnp.stack([w[2] for w in sw], axis=0)  # [NB, VH]
+        pre["ln_bias"] = jnp.stack([w[3] for w in sw], axis=0)
+        # vocab head, cast once
+        if self.is_initializing():
+            _ = self.word_restore(jnp.zeros((1, cfg.decode_hidden_size), jnp.float32))
+        wr = self.word_restore.variables["params"]
+        pre["Wv"] = wr["kernel"].astype(cd)
+        pre["bv"] = wr["bias"].astype(jnp.float32)
         return pre
 
     def decode_hidden(
@@ -108,29 +163,73 @@ class DecoderStep(nn.Module):
     ):
         """The step chain up to (but excluding) the vocab projection.
 
-        Returns (decoder_output [B, Hd], q_h, q_c, l_h, l_c, alpha). Split out
-        so the fused vocab-head kernel (ops/pallas/vocab_head.py) can consume
-        decoder_output directly without materializing [B, V] logits.
+        Fused form of the reference's per-step chain (layer.py:569-602): the
+        two LSTM cells each run as ONE `[x, h] @ W` matmul against the stacked
+        kernels from `precompute`, the two attention branches' Q projections,
+        score/context einsums, out projections, and LayerNorms run batched
+        over a branch axis, and no weight cast happens inside the step. The
+        math is an exact reassociation of the unfused chain (same params, same
+        results up to fp32 rounding); measured 2.4x on the 26-step scan at
+        G=640 on a v5e (scripts/bisect_results.jsonl chain_split vs merged).
+
+        NB: in training, the merged attention dropout draws ONE mask over
+        [B, NB, VH] where the reference draws one per branch — distribution-
+        identical, different stream.
+
+        Returns (decoder_output [B, Hd], q_h, q_c, l_h, l_c, alpha [B, NB*P]).
         """
-        q_h, q_c = self.query_lstm(
-            jnp.concatenate([lang_h, word], axis=-1), pre["gw"], query_h, query_c
+        cd = self.cfg.cdtype
+        B = word.shape[0]
+        nb = 2 if self.multi_modal else 1
+        vh = self.cfg.visual_hidden_size
+        qh_size = self.cfg.query_hidden_size
+
+        # query LSTM: one matmul over [lang_h, word, qh_prev]
+        x = jnp.concatenate([lang_h, word, query_h], axis=-1)
+        gates = (
+            jnp.dot(x.astype(cd), pre["Wq"], preferred_element_type=jnp.float32)
+            + pre["bq"]
+            + pre["gw"].astype(jnp.float32)
         )
+        q_h, q_c = lstm_gates(gates, query_c)
         query_current = self.query_drop(self.query_ln(q_h), deterministic=deterministic)
-        context, alpha = self.context_att.attend(
-            pre["K1"], pre["V1"], query_current, deterministic
+
+        # both attention branches, batched on a branch axis
+        q = jnp.dot(
+            query_current.astype(cd), pre["WQ"], preferred_element_type=jnp.float32
+        ).reshape(B, nb, vh)
+        scores = jnp.einsum(
+            "bnpv,bnv->bnp", pre["K"], q, preferred_element_type=jnp.float32
+        ) / math.sqrt(vh)
+        alpha = jax.nn.softmax(scores, axis=-1)  # softmax over proposals
+        ctx = jnp.einsum(
+            "bnp,bnpv->bnv", alpha.astype(pre["V"].dtype), pre["V"],
+            preferred_element_type=jnp.float32,
         )
-        if self.multi_modal:
-            context2, alpha2 = self.context_att_2.attend(
-                pre["K2"], pre["V2"], query_current, deterministic
-            )
-            lang_input = jnp.concatenate([context, context2, query_current], axis=-1)
-            alpha = jnp.concatenate([alpha, alpha2], axis=1)  # [B, 2P]
-        else:
-            lang_input = jnp.concatenate([context, query_current], axis=-1)
-        l_h, l_c = self.lang_lstm(lang_input, lang_h, lang_c)
+        ctx = jnp.einsum(
+            "bnv,nvw->bnw", ctx.astype(cd), pre["WO"],
+            preferred_element_type=jnp.float32,
+        )
+        ctx = jnp.tanh(ctx)
+        # dual LayerNorm: normalize over VH per branch, per-branch affine
+        mu = jnp.mean(ctx, axis=-1, keepdims=True)
+        var = jnp.maximum(jnp.mean(ctx * ctx, axis=-1, keepdims=True) - mu * mu, 0.0)
+        ctx = (ctx - mu) * jax.lax.rsqrt(var + 1e-6)
+        ctx = ctx * pre["ln_scale"][None] + pre["ln_bias"][None]
+        ctx = self.context_att.drop(ctx, deterministic=deterministic)
+
+        # lang LSTM: one matmul over [ctx..., query, lang_h]
+        lang_x = jnp.concatenate(
+            [ctx.reshape(B, nb * vh), query_current, lang_h], axis=-1
+        )
+        gates2 = (
+            jnp.dot(lang_x.astype(cd), pre["Wl"], preferred_element_type=jnp.float32)
+            + pre["bl"]
+        )
+        l_h, l_c = lstm_gates(gates2, lang_c)
         l_h = self.lang_drop(l_h, deterministic=deterministic)
         decoder_output = jnp.tanh(self.lang_ln(l_h))
-        return decoder_output, q_h, q_c, l_h, l_c, alpha
+        return decoder_output, q_h, q_c, l_h, l_c, alpha.reshape(B, -1)
 
     def decode(
         self,
@@ -145,16 +244,21 @@ class DecoderStep(nn.Module):
         decoder_output, q_h, q_c, l_h, l_c, alpha = self.decode_hidden(
             word, query_h, query_c, lang_h, lang_c, pre, deterministic
         )
-        word_logits = self.word_restore(decoder_output).astype(jnp.float32)
+        word_logits = jnp.dot(
+            decoder_output.astype(self.cfg.cdtype), pre["Wv"],
+            preferred_element_type=jnp.float32,
+        ) + pre["bv"]
         return word_logits, q_h, q_c, l_h, l_c, alpha
 
-    def __call__(self, carry, x, collect_logits: bool = True, deterministic: bool = True):
+    def __call__(self, carry, x, pre=None, collect_logits: bool = True, deterministic: bool = True):
         """Scanned step: embed current token, decode, pick the next token.
 
-        carry = (word_id, qh, qc, lh, lc, pre)
+        carry = (word_id, qh, qc, lh, lc); `pre` (the loop invariants) rides
+        as a scan closure constant, not carry — XLA then knows it never
+        changes across the 26 steps.
         x     = (gold_token [B], tf_coin scalar bool)
         """
-        (word_id, qh, qc, lh, lc, pre) = carry
+        (word_id, qh, qc, lh, lc) = carry
         gold, coin = x
         word = self.word_embed(word_id)
         word = self.word_drop(word, deterministic=deterministic)
@@ -163,7 +267,7 @@ class DecoderStep(nn.Module):
         )
         greedy_id = jnp.argmax(logits, axis=-1)
         next_id = jnp.where(coin, gold, greedy_id)
-        new_carry = (next_id, qh, qc, lh, lc, pre)
+        new_carry = (next_id, qh, qc, lh, lc)
         if collect_logits:
             return new_carry, (logits, alpha)
         return new_carry, (greedy_id, alpha)
@@ -232,7 +336,7 @@ class Decoder(nn.Module):
         pre = self._precompute(feats, feats2)
         qh, qc, lh, lc = self._init_state(feats)
         word_id = jnp.full((B,), START_ID, jnp.int32)
-        carry = (word_id, qh, qc, lh, lc, pre)
+        carry = (word_id, qh, qc, lh, lc)
 
         if infer:
             gold = jnp.zeros((T, B), jnp.int32)
@@ -249,7 +353,9 @@ class Decoder(nn.Module):
 
         collect = not infer
         scan = nn.scan(
-            lambda mod, c, x: mod(c, x, collect_logits=collect, deterministic=deterministic),
+            lambda mod, c, x: mod(
+                c, x, pre=pre, collect_logits=collect, deterministic=deterministic
+            ),
             variable_broadcast="params",
             split_rngs={"params": False, "dropout": True},
             in_axes=0,

@@ -127,6 +127,21 @@ class AttentionShare(nn.Module):
         """Project the loop-invariant proposal tensor once: (K, V) [B, P, out]."""
         return self.K_proj(meta_state), self.V_proj(meta_state)
 
+    def step_weights(self):
+        """Raw per-step weights (Q kernel, out kernel, ln scale, ln bias) so
+        the decoder can batch the two attention branches' Q/out projections
+        and LayerNorms into single ops (models/decoder.py fused step)."""
+        if self.is_initializing():
+            _ = self.Q_proj(jnp.zeros((1, self.input_key_size), jnp.float32))
+            _ = self.out_proj(jnp.zeros((1, self.output_size), jnp.float32))
+            _ = self.ln(jnp.zeros((1, self.output_size), jnp.float32))
+        return (
+            self.Q_proj.variables["params"]["kernel"],
+            self.out_proj.variables["params"]["kernel"],
+            self.ln.variables["params"]["scale"],
+            self.ln.variables["params"]["bias"],
+        )
+
     def attend(self, K, V, hidden_previous, deterministic: bool = True):
         """One attention step over precomputed K/V."""
         q = self.Q_proj(hidden_previous)

@@ -29,6 +29,15 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def lstm_gates(gates: jnp.ndarray, c: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Apply the (i, f, g, o) nonlinearity given fully-formed gate
+    pre-activations [B, 4H] (fp32) and the previous cell state."""
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    return h_new, c_new
+
+
 def lstm_step(
     xw: jnp.ndarray,
     h: jnp.ndarray,
@@ -50,31 +59,40 @@ def lstm_step(
     gates = xw.astype(jnp.float32) + jnp.dot(
         h.astype(dtype), w_hh.astype(dtype), preferred_element_type=jnp.float32
     )
-    i, f, g, o = jnp.split(gates, 4, axis=-1)
-    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
-    return h_new, c_new
+    return lstm_gates(gates, c)
 
 
 class LSTMCell(nn.Module):
     """Fused-gate LSTM cell (torch ``nn.LSTMCell`` equivalent).
 
     Used by the decoder's query/language cells (models/layer.py:318,326).
+    `fused_weights` exposes [W_ih; W_hh] as ONE stacked kernel so the decoder's
+    scanned step can run `[x, h] @ W` as a single MXU matmul instead of two
+    (the stack is built once per sequence, outside the scan).
     """
 
     features: int
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, h, c):
-        xw = nn.Dense(4 * self.features, dtype=self.dtype, name="ih")(x)
-        w_hh = self.param(
+    def setup(self):
+        self.ih = nn.Dense(4 * self.features, dtype=self.dtype, name="ih")
+        self.w_hh = self.param(
             "w_hh",
             nn.initializers.orthogonal(),
             (self.features, 4 * self.features),
             jnp.float32,
         )
-        return lstm_step(xw, h, c, w_hh, self.dtype)
+
+    def __call__(self, x, h, c):
+        return lstm_step(self.ih(x), h, c, self.w_hh, self.dtype)
+
+    def fused_weights(self, in_features: int):
+        """(W [in+H, 4H] in compute dtype, b [4H] fp32) for `[x, h] @ W + b`."""
+        if self.is_initializing():
+            _ = self.ih(jnp.zeros((1, in_features), jnp.float32))
+        p = self.ih.variables["params"]
+        w = jnp.concatenate([p["kernel"], self.w_hh], axis=0).astype(self.dtype)
+        return w, p["bias"].astype(jnp.float32)
 
 
 class SplitInputLSTMCell(nn.Module):
@@ -110,6 +128,15 @@ class SplitInputLSTMCell(nn.Module):
     def __call__(self, x_dyn, xw_static, h, c):
         xw = self.ih_dyn(x_dyn).astype(jnp.float32) + xw_static.astype(jnp.float32)
         return lstm_step(xw, h, c, self.w_hh, self.dtype)
+
+    def fused_weights(self, dyn_in_features: int):
+        """(W [dyn_in+H, 4H] in compute dtype, b [4H] fp32) for
+        `[x_dyn, h] @ W + b + xw_static` as one per-step matmul."""
+        if self.is_initializing():
+            _ = self.ih_dyn(jnp.zeros((1, dyn_in_features), jnp.float32))
+        p = self.ih_dyn.variables["params"]
+        w = jnp.concatenate([p["kernel"], self.w_hh], axis=0).astype(self.dtype)
+        return w, p["bias"].astype(jnp.float32)
 
 
 class LSTMSequence(nn.Module):

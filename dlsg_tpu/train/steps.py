@@ -140,9 +140,13 @@ def make_gan_train_step(gen_model, disc_model, cfg: DLSGConfig, mesh: Optional[M
             (loss_d, aux), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
                 dstate.params
             )
-            return dstate.apply_gradients(grads), (loss_d, aux["wasserstein"])
+            return dstate.apply_gradients(grads), (
+                loss_d,
+                aux["wasserstein"],
+                aux["gp"],
+            )
 
-        disc_state, (d_losses, wassersteins) = jax.lax.scan(
+        disc_state, (d_losses, wassersteins, gps) = jax.lax.scan(
             d_substep, disc_state, jax.random.split(rng_d, num_d)
         )
 
@@ -189,6 +193,7 @@ def make_gan_train_step(gen_model, disc_model, cfg: DLSGConfig, mesh: Optional[M
             "loss_G": loss_g,
             "loss_D": jnp.mean(d_losses),
             "wasserstein": jnp.mean(wassersteins),
+            "grad_penalty": jnp.mean(gps),
             "gan_lambda": gan_lambda,
             "sample_tokens": sample,
         }
