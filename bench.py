@@ -122,7 +122,7 @@ def bench_train(cfg, vocab_size, batch, repeats=6):
     gstate = TrainState.create(g_vars["params"], make_optimizer(1.6e-4))
     dstate = TrainState.create(d_vars["params"], make_optimizer(1.6e-4))
     lstate0 = init_lambda_state(0.01)
-    key = jax.random.PRNGKey(7)
+    key = jax.random.key(7, impl=cfg.rng_impl)  # rbg: hw RNG for dropout
 
     def chained(state):
         gs, ds, ls = state

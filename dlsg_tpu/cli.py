@@ -62,6 +62,11 @@ def main(argv=None):
         help="evaluate without a checkpoint (scores a randomly initialized model)",
     )
     extra.add_argument(
+        "--torch_checkpoint", type=str, default=None,
+        help="evaluate a reference-trained torch .pt (run_gun.py:302-310 "
+        "schema) via the convert.py transliterator",
+    )
+    extra.add_argument(
         "--distributed", action="store_true",
         help="multi-host: jax.distributed.initialize() from cluster env vars",
     )
@@ -117,7 +122,8 @@ def main(argv=None):
         from dlsg_tpu.evaluation.evaluate import evaluate, make_decode_fn
         from dlsg_tpu.models.generator import CapGnnModel
 
-        if not extra_ns.metric and not extra_ns.allow_random_params:
+        if (not extra_ns.metric and not extra_ns.torch_checkpoint
+                and not extra_ns.allow_random_params):
             print(
                 "evaluate: no --metric given — this would score a RANDOMLY "
                 "INITIALIZED model. Pass --metric best_CIDEr (or another saved "
@@ -133,7 +139,13 @@ def main(argv=None):
         regions = jnp.zeros((B, cfg.max_frames, cfg.num_obj, cfg.region_feature_size))
         caps = jnp.zeros((B, cfg.max_words), jnp.int32)
         params = model.init(jax.random.PRNGKey(cfg.seed), frames, regions, caps)["params"]
-        if extra_ns.metric:
+        if extra_ns.torch_checkpoint:
+            from dlsg_tpu.convert import load_reference_checkpoint
+
+            params = load_reference_checkpoint(extra_ns.torch_checkpoint, cfg)[
+                "generator"
+            ]["params"]
+        elif extra_ns.metric:
             params = ckpt.restore_model(cfg.checkpoint_dir, extra_ns.metric, params)
         decode_fn = make_decode_fn(model, cfg, mesh=mesh)
         scores, result, _, t = evaluate(

@@ -111,6 +111,12 @@ class DLSGConfig:
     # surface decoder attention at eval and dump heatmaps (run_gun.py:455-465)
     plot_attention: bool = True
     seed: int = 12  # train_debug.py:34-42 seeds everything with 12
+    # PRNG implementation for the TRAINING rng stream (dropout, scheduled
+    # sampling, GP interpolates). 'rbg' uses the TPU's hardware RNG path —
+    # threefry dropout masks measured ~7 ms/substep of pure ALU work in the
+    # discriminator phase (scripts/bisect_results.jsonl ts_D_phase_scan5).
+    # 'threefry2x32' restores JAX's default stream.
+    rng_impl: str = "rbg"
     mesh_data_axis: int = -1  # -1 = use all devices for data parallelism
     mesh_model_axis: int = 1
     log_every: int = 10  # run_gun.py:236 prints every 10 steps

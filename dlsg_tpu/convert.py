@@ -135,7 +135,12 @@ def _encoder_visual(sd: Mapping, key: str, baseline: bool = False) -> Dict:
     return out
 
 
-def _graph_tun(sd: Mapping, key: str, use_embed: bool, num_obj: int) -> Dict:
+def _graph_tun(
+    sd: Mapping, key: str, use_embed: bool, num_obj: int, own_obj_embed: bool = True
+) -> Dict:
+    """`own_obj_embed=False` when the caller fuses the region projection of
+    both branches into one encoder-level kernel (CapGnnEncoder
+    obj_embed_joint); the per-branch norms always stay here."""
     out = {
         "visual_norm": _tanh_ln(sd, f"{key}.visual_norm.1"),
         "v2l_layer": _latent_psl(sd, f"{key}.v2l_layer"),
@@ -143,7 +148,8 @@ def _graph_tun(sd: Mapping, key: str, use_embed: bool, num_obj: int) -> Dict:
     if use_embed:
         out["visual_embed"] = _lin(sd, f"{key}.visual_embed")
     if num_obj > 4:
-        out["obj_embed"] = _lin(sd, f"{key}.obj_embed")
+        if own_obj_embed:
+            out["obj_embed"] = _lin(sd, f"{key}.obj_embed")
         out["obj_norm"] = _tanh_ln(sd, f"{key}.obj_norm.1")
         out["obj_visual_norm"] = _tanh_ln(sd, f"{key}.obj_visual_norm.1")
     return out
@@ -209,18 +215,36 @@ def convert_capgnn_state_dict(sd: Mapping, cfg: DLSGConfig) -> Dict:
     (model.py:25-53): CapGnnEncoder{obj_encoder TUN, motion_pre_encoder
     EncoderVisual, motion_encoder TUN(use_embed=False)} + Decoder.
     """
-    params = {
-        "encoder": {
-            "obj_encoder": _graph_tun(
-                sd, "encoder.obj_encoder", use_embed=True, num_obj=cfg.num_obj
-            ),
-            "motion_pre_encoder": _encoder_visual(sd, "encoder.motion_pre_encoder"),
-            "motion_encoder": _graph_tun(
-                sd, "encoder.motion_encoder", use_embed=False, num_obj=cfg.num_obj
-            ),
-        },
-        "decoder": _decoder(sd, "decoder", cfg),
+    encoder = {
+        "obj_encoder": _graph_tun(
+            sd, "encoder.obj_encoder", use_embed=True, num_obj=cfg.num_obj,
+            own_obj_embed=False,
+        ),
+        "motion_pre_encoder": _encoder_visual(sd, "encoder.motion_pre_encoder"),
+        "motion_encoder": _graph_tun(
+            sd, "encoder.motion_encoder", use_embed=False, num_obj=cfg.num_obj,
+            own_obj_embed=False,
+        ),
     }
+    if cfg.num_obj > 4:
+        # both branches' region projections, fused side by side (the joint
+        # [2048, 2*rps] kernel of CapGnnEncoder; exact: split == two matmuls)
+        encoder["obj_embed_joint"] = {
+            "kernel": np.concatenate(
+                [
+                    _np(sd["encoder.obj_encoder.obj_embed.weight"]).T,
+                    _np(sd["encoder.motion_encoder.obj_embed.weight"]).T,
+                ],
+                axis=1,
+            ),
+            "bias": np.concatenate(
+                [
+                    _np(sd["encoder.obj_encoder.obj_embed.bias"]),
+                    _np(sd["encoder.motion_encoder.obj_embed.bias"]),
+                ]
+            ),
+        }
+    params = {"encoder": encoder, "decoder": _decoder(sd, "decoder", cfg)}
     return {"params": params}
 
 
@@ -264,7 +288,12 @@ def load_reference_checkpoint(path: str, cfg: DLSGConfig) -> Dict:
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     out = {
         "generator": convert_capgnn_state_dict(ckpt["model_state_dict"], cfg),
-        "discriminator": convert_discv2_state_dict(ckpt["model_d_state_dict"], cfg),
+        # the discriminator is absent from CE-only checkpoints (train.py path)
+        "discriminator": (
+            convert_discv2_state_dict(ckpt["model_d_state_dict"], cfg)
+            if "model_d_state_dict" in ckpt
+            else None
+        ),
         "cap_list": np.asarray(ckpt["cap_list"]) if "cap_list" in ckpt else None,
         "epoch": ckpt.get("epoch"),
     }

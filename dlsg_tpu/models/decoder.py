@@ -149,7 +149,11 @@ class DecoderStep(nn.Module):
         wr = self.word_restore.variables["params"]
         pre["Wv"] = wr["kernel"].astype(cd)
         pre["bv"] = wr["bias"].astype(jnp.float32)
-        return pre
+        # force the fused stacks to MATERIALIZE here, outside the decode scan:
+        # without the barrier XLA sinks the cheap-looking concat(cast(...))
+        # producers into the loop and rebuilds ~110 MB of fused weights on
+        # every one of the 26 steps
+        return jax.lax.optimization_barrier(pre)
 
     def decode_hidden(
         self,

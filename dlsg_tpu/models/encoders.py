@@ -86,7 +86,18 @@ class EncoderVisualGraphTUN(nn.Module):
     baseline: bool = False
 
     @nn.compact
-    def __call__(self, visual_feats, obj_feats, deterministic: bool = True):
+    def __call__(
+        self,
+        visual_feats,
+        obj_feats,
+        deterministic: bool = True,
+        obj_embedded=None,
+    ):
+        """`obj_embedded` optionally supplies the region projection
+        (pre-obj_norm): CapGnnEncoder projects the [B, T, O, 2048] region
+        tensor ONCE for both branches as a single wide matmul instead of
+        re-reading the ~1 GB input per branch (this branch's obj_norm and
+        everything after stay per-branch)."""
         cfg = self.cfg
         B, T, O, obj_size = obj_feats.shape
 
@@ -95,15 +106,17 @@ class EncoderVisualGraphTUN(nn.Module):
             visual_embed = nn.Dense(
                 cfg.visual_hidden_size, dtype=cfg.cdtype, name="visual_embed"
             )(visual_feats)
-        visual_embed = TanhLayerNorm(name="visual_norm")(visual_embed)
+        visual_embed = TanhLayerNorm(dtype=cfg.cdtype, name="visual_norm")(visual_embed)
 
         if O < 5:
             obj_visual = visual_embed
         else:
-            obj = nn.Dense(
-                cfg.region_projected_size, dtype=cfg.cdtype, name="obj_embed"
-            )(obj_feats)
-            obj = TanhLayerNorm(name="obj_norm")(obj)
+            obj = obj_embedded
+            if obj is None:
+                obj = nn.Dense(
+                    cfg.region_projected_size, dtype=cfg.cdtype, name="obj_embed"
+                )(obj_feats)
+            obj = TanhLayerNorm(dtype=cfg.cdtype, name="obj_norm")(obj)
             obj = obj.reshape(B, T * O, -1)
             # NB: reference scales by sqrt of the RAW region feature size
             # (layer.py:187 uses obj_size from obj_feats.size()).
@@ -121,7 +134,7 @@ class EncoderVisualGraphTUN(nn.Module):
                 preferred_element_type=jnp.float32,
             )
             obj_visual = obj_agg + visual_embed
-            obj_visual = TanhLayerNorm(name="obj_visual_norm")(obj_visual)
+            obj_visual = TanhLayerNorm(dtype=cfg.cdtype, name="obj_visual_norm")(obj_visual)
 
         if self.baseline:
             return obj_visual
@@ -146,9 +159,25 @@ class CapGnnEncoder(nn.Module):
         self, visual_feats, region_feats, deterministic: bool = True
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.cfg
+        # ONE wide matmul projects the region tensor for BOTH branches: the
+        # reference reads the [B, T, O, 2048] features twice, once per TUN
+        # (model.py:69-71); a joint [2048, 2*rps] kernel halves the dominant
+        # HBM read of encode (981 MB at bench dims) and doubles MXU tile work
+        O = region_feats.shape[2]
+        if O >= 5:
+            joint = nn.Dense(
+                2 * cfg.region_projected_size, dtype=cfg.cdtype, name="obj_embed_joint"
+            )(region_feats)
+            obj_e1 = joint[..., : cfg.region_projected_size]
+            obj_e2 = joint[..., cfg.region_projected_size :]
+        else:
+            obj_e1 = obj_e2 = None
         obj_proposals = EncoderVisualGraphTUN(
             cfg, input_type="object", baseline=self.baseline, name="obj_encoder"
-        )(visual_feats[:, :, : cfg.a_feature_size], region_feats, deterministic)
+        )(
+            visual_feats[:, :, : cfg.a_feature_size], region_feats, deterministic,
+            obj_embedded=obj_e1,
+        )
         motion_input = EncoderVisual(cfg, name="motion_pre_encoder")(
             visual_feats, deterministic
         )
@@ -158,5 +187,5 @@ class CapGnnEncoder(nn.Module):
             use_embed=False,
             baseline=self.baseline,
             name="motion_encoder",
-        )(motion_input, region_feats, deterministic)
+        )(motion_input, region_feats, deterministic, obj_embedded=obj_e2)
         return obj_proposals, motion_proposals

@@ -220,8 +220,14 @@ class JointEmbedVideoModel2(nn.Module):
 
 
 class TanhLayerNorm(nn.Module):
-    """The recurring `Sequential(Tanh, LayerNorm)` block (e.g. layer.py:145-163)."""
+    """The recurring `Sequential(Tanh, LayerNorm)` block (e.g. layer.py:145-163).
+
+    `dtype` sets the LayerNorm computation dtype (statistics stay fp32 inside
+    flax); passing bf16 halves the HBM traffic of these elementwise passes on
+    the encoder's [B, T*O, D] tensors."""
+
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        return nn.LayerNorm(name="ln")(jnp.tanh(x))
+        return nn.LayerNorm(dtype=self.dtype, name="ln")(jnp.tanh(x))

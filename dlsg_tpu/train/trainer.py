@@ -62,7 +62,7 @@ class _TrainerBase:
         self.mesh = mesh
         self.is_leader = jax.process_index() == 0
         self.base_name = cfg.base_name()
-        self.rng = jax.random.PRNGKey(cfg.seed)
+        self.rng = jax.random.key(cfg.seed, impl=cfg.rng_impl)
         self.last_epoch = -1
         self.resume_epoch = resume_epoch
 

@@ -124,6 +124,9 @@ def test_gan_dynamics_and_ce_ablation():
     d_vars = disc.init(jax.random.PRNGKey(1), onehot, obj, obj, att, alpha)
 
     # --- GAN run ---
+    # keep a copy for the CE ablation: the GAN step donates its TrainState
+    # buffers, so g_vars' original arrays are consumed by the first call
+    ce_params = jax.tree_util.tree_map(jnp.copy, g_vars["params"])
     gstate = TrainState.create(g_vars["params"], make_optimizer(3e-3))
     dstate = TrainState.create(d_vars["params"], make_optimizer(3e-4))
     gan_step = make_gan_train_step(gen, disc, cfg)
@@ -157,7 +160,7 @@ def test_gan_dynamics_and_ce_ablation():
     assert np.isfinite(ws).all() and np.isfinite(gps).all()
 
     # --- CE-only run, same data and step count ---
-    ce_state = TrainState.create(g_vars["params"], make_optimizer(3e-3))
+    ce_state = TrainState.create(ce_params, make_optimizer(3e-3))
     ce_step = make_ce_train_step(gen, cfg)
     rng = jax.random.PRNGKey(43)
     for epoch in range(epochs):

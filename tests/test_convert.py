@@ -273,3 +273,42 @@ def test_split_query_lstm_numeric_vs_torch(tiny_cfg):
     )
     np.testing.assert_allclose(np.asarray(jh), th.numpy(), atol=1e-5)
     np.testing.assert_allclose(np.asarray(jc), tc.numpy(), atol=1e-5)
+
+
+def test_cli_evaluate_torch_checkpoint(tiny_cfg, tmp_path):
+    """End-to-end reference-user flow: `evaluate --torch_checkpoint x.pt`
+    scores a reference-schema checkpoint through the transliterator."""
+    torch = pytest.importorskip("torch")
+    from dlsg_tpu.cli import main
+    from dlsg_tpu.config import parse_opt
+    from dlsg_tpu.data.synthetic import make_vocab
+
+    c = tiny_cfg
+    argv = [
+        "--test_batch_size", "4",
+        "--visual_hidden_size", str(c.visual_hidden_size),
+        "--region_projected_size", str(c.region_projected_size),
+        "--query_hidden_size", str(c.query_hidden_size),
+        "--word_size", str(c.word_size),
+        "--a_feature_size", str(c.a_feature_size),
+        "--m_feature_size", str(c.m_feature_size),
+        "--max_frames", str(c.max_frames),
+        "--max_words", str(c.max_words),
+        "--result_dir", str(tmp_path),
+    ]
+    # the EFFECTIVE config: the CLI re-applies per-dataset overrides
+    # (decode_hidden/num_proposals/num_obj), parity with run_gun.py:31-40
+    eff = parse_opt(argv)
+
+    global VOCAB
+    old_vocab = VOCAB
+    VOCAB = len(make_vocab())  # the CLI's --synthetic vocab
+    try:
+        sd = _reference_capgnn_sd(eff, np.random.default_rng(3))
+    finally:
+        VOCAB = old_vocab
+    pt = tmp_path / "ref_epoch.pt"
+    torch.save({"epoch": 7, "model_state_dict": sd, "cap_list": np.zeros(3)}, str(pt))
+
+    rc = main(["evaluate", "--synthetic", "--torch_checkpoint", str(pt)] + argv)
+    assert rc == 0
