@@ -105,6 +105,11 @@ class DLSGConfig:
     # compute dtype for matmuls/activations; params stay fp32.
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
     use_pallas_lstm: bool = False  # fused VMEM-resident LSTM scan kernel (TPU)
+    # project the region tensor once for both TUN branches (one wide matmul).
+    # Measured SLOWER on v5e (12.5 vs 9.5 ms encode: the wide output + slices
+    # defeat XLA's per-branch matmul->tanh-LN fusion; bisect_results iab_enc_*)
+    # - kept as an option, off by default.
+    joint_region_projection: bool = False
     # fused vocab-head kernel at decode (projection + top-k + logsumexp in one
     # VMEM pass, ops/pallas/vocab_head.py): 'auto' = on when running on TPU
     use_fused_vocab_head: str = "auto"  # 'auto' | 'on' | 'off'
@@ -117,6 +122,15 @@ class DLSGConfig:
     # discriminator phase (scripts/bisect_results.jsonl ts_D_phase_scan5).
     # 'threefry2x32' restores JAX's default stream.
     rng_impl: str = "rbg"
+    # write a jax.profiler device trace of a few training steps here ("" = off)
+    profile_dir: str = ""
+    # beam bookkeeping variants (ops/beam_search.py): single-pass clipped
+    # sumexp and group-max hierarchical top-k
+    decode_fast_lse: bool = True
+    decode_grouped_topk: bool = False
+    # int8 weight-only quantized INFERENCE matmuls in the decode step
+    # (ops/quant.py); training always runs bf16/fp32
+    decode_quant: str = "none"  # 'none' | 'int8' 
     mesh_data_axis: int = -1  # -1 = use all devices for data parallelism
     mesh_model_axis: int = 1
     log_every: int = 10  # run_gun.py:236 prints every 10 steps

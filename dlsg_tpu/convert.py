@@ -215,18 +215,19 @@ def convert_capgnn_state_dict(sd: Mapping, cfg: DLSGConfig) -> Dict:
     (model.py:25-53): CapGnnEncoder{obj_encoder TUN, motion_pre_encoder
     EncoderVisual, motion_encoder TUN(use_embed=False)} + Decoder.
     """
+    joint = getattr(cfg, "joint_region_projection", True)
     encoder = {
         "obj_encoder": _graph_tun(
             sd, "encoder.obj_encoder", use_embed=True, num_obj=cfg.num_obj,
-            own_obj_embed=False,
+            own_obj_embed=not joint,
         ),
         "motion_pre_encoder": _encoder_visual(sd, "encoder.motion_pre_encoder"),
         "motion_encoder": _graph_tun(
             sd, "encoder.motion_encoder", use_embed=False, num_obj=cfg.num_obj,
-            own_obj_embed=False,
+            own_obj_embed=not joint,
         ),
     }
-    if cfg.num_obj > 4:
+    if cfg.num_obj > 4 and joint:
         # both branches' region projections, fused side by side (the joint
         # [2048, 2*rps] kernel of CapGnnEncoder; exact: split == two matmuls)
         encoder["obj_embed_joint"] = {

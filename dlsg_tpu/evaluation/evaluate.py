@@ -125,7 +125,8 @@ def make_decode_fn(
             beam_size=beam,
             normalize=True,  # beam_step returns raw logits
             sparse_step=fused,
-            fast_lse=True,  # decode logits are bounded; one pass not two
+            fast_lse=getattr(cfg, "decode_fast_lse", True),
+            grouped_topk=getattr(cfg, "decode_grouped_topk", False),
         )
         # top beam == argmax log-prob (beam output is sorted)
         if return_alpha:

@@ -32,6 +32,7 @@ from flax import linen as nn
 from dlsg_tpu.config import DLSGConfig
 from dlsg_tpu.models.layers import AttentionShare
 from dlsg_tpu.ops.lstm import LSTMCell, SplitInputLSTMCell, lstm_gates
+from dlsg_tpu.ops.quant import qmatmul, quantize_per_col
 from dlsg_tpu.vocab import START_ID
 
 
@@ -98,7 +99,7 @@ class DecoderStep(nn.Module):
             name="word_restore",
         )
 
-    def precompute(self, feats, feats2, global_feat):
+    def precompute(self, feats, feats2, global_feat, quant: bool = False):
         """All loop-invariant work, computed once per sequence.
 
         Beyond the attention K/V projections and the static slice of the query
@@ -132,11 +133,15 @@ class DecoderStep(nn.Module):
         pre["Wq"], pre["bq"] = self.query_lstm.fused_weights(
             cfg.decode_hidden_size + cfg.word_size
         )
+        if quant:
+            pre["Wq"] = quantize_per_col(pre["Wq"])
         # lang LSTM: [ctx..., query, lang_h] @ Wl in one matmul
         nb = len(atts)
         pre["Wl"], pre["bl"] = self.lang_lstm.fused_weights(
             nb * cfg.visual_hidden_size + cfg.query_hidden_size
         )
+        if quant:
+            pre["Wl"] = quantize_per_col(pre["Wl"])
         # attention per-step weights, branch-stacked
         sw = [a.step_weights() for a in atts]
         pre["WQ"] = jnp.concatenate([w[0] for w in sw], axis=1).astype(cd)  # [QH, NB*VH]
@@ -147,7 +152,9 @@ class DecoderStep(nn.Module):
         if self.is_initializing():
             _ = self.word_restore(jnp.zeros((1, cfg.decode_hidden_size), jnp.float32))
         wr = self.word_restore.variables["params"]
-        pre["Wv"] = wr["kernel"].astype(cd)
+        pre["Wv"] = (
+            quantize_per_col(wr["kernel"]) if quant else wr["kernel"].astype(cd)
+        )
         pre["bv"] = wr["bias"].astype(jnp.float32)
         # force the fused stacks to MATERIALIZE here, outside the decode scan:
         # without the barrier XLA sinks the cheap-looking concat(cast(...))
@@ -186,54 +193,59 @@ class DecoderStep(nn.Module):
         B = word.shape[0]
         nb = 2 if self.multi_modal else 1
         vh = self.cfg.visual_hidden_size
-        qh_size = self.cfg.query_hidden_size
+
+        def _mm(x, W):
+            # fused weights are either a plain kernel or an int8 (q, scale)
+            # pair (cfg.decode_quant='int8'; ops/quant.py)
+            if isinstance(W, tuple):
+                return qmatmul(x, *W)
+            return jnp.dot(x.astype(cd), W, preferred_element_type=jnp.float32)
 
         # query LSTM: one matmul over [lang_h, word, qh_prev]
         x = jnp.concatenate([lang_h, word, query_h], axis=-1)
-        gates = (
-            jnp.dot(x.astype(cd), pre["Wq"], preferred_element_type=jnp.float32)
-            + pre["bq"]
-            + pre["gw"].astype(jnp.float32)
-        )
-        q_h, q_c = lstm_gates(gates, query_c)
+        gates = _mm(x, pre["Wq"]) + pre["bq"] + pre["gw"].astype(jnp.float32)
+        q_h, q_c = lstm_gates(gates, query_c, cd)
         query_current = self.query_drop(self.query_ln(q_h), deterministic=deterministic)
 
-        # both attention branches, batched on a branch axis
-        q = jnp.dot(
+        # the Q projections of both branches run as ONE matmul; everything
+        # after stays PER BRANCH — a branch-batched (bnpv) einsum form
+        # measured +4.1 ms/26 steps over the sliced form on a v5e
+        # (scripts/bisect_results.jsonl cp_L3 vs cp_L4)
+        q12 = jnp.dot(
             query_current.astype(cd), pre["WQ"], preferred_element_type=jnp.float32
-        ).reshape(B, nb, vh)
-        scores = jnp.einsum(
-            "bnpv,bnv->bnp", pre["K"], q, preferred_element_type=jnp.float32
-        ) / math.sqrt(vh)
-        alpha = jax.nn.softmax(scores, axis=-1)  # softmax over proposals
-        ctx = jnp.einsum(
-            "bnp,bnpv->bnv", alpha.astype(pre["V"].dtype), pre["V"],
-            preferred_element_type=jnp.float32,
         )
-        ctx = jnp.einsum(
-            "bnv,nvw->bnw", ctx.astype(cd), pre["WO"],
-            preferred_element_type=jnp.float32,
-        )
-        ctx = jnp.tanh(ctx)
-        # dual LayerNorm: normalize over VH per branch, per-branch affine
-        mu = jnp.mean(ctx, axis=-1, keepdims=True)
-        var = jnp.maximum(jnp.mean(ctx * ctx, axis=-1, keepdims=True) - mu * mu, 0.0)
-        ctx = (ctx - mu) * jax.lax.rsqrt(var + 1e-6)
-        ctx = ctx * pre["ln_scale"][None] + pre["ln_bias"][None]
+        ctxs, alphas = [], []
+        for n in range(nb):
+            qn = q12[:, n * vh : (n + 1) * vh]
+            Kn = pre["K"][:, n]
+            Vn = pre["V"][:, n]
+            scores = jnp.einsum(
+                "bpv,bv->bp", Kn, qn, preferred_element_type=jnp.float32
+            ) / math.sqrt(vh)
+            an = jax.nn.softmax(scores, axis=-1)  # softmax over proposals
+            cn = jnp.einsum(
+                "bp,bpv->bv", an.astype(Vn.dtype), Vn,
+                preferred_element_type=jnp.float32,
+            )
+            cn = jnp.dot(cn.astype(cd), pre["WO"][n], preferred_element_type=jnp.float32)
+            cn = jnp.tanh(cn)
+            mu = jnp.mean(cn, axis=-1, keepdims=True)
+            var = jnp.maximum(jnp.mean(cn * cn, axis=-1, keepdims=True) - mu * mu, 0.0)
+            cn = (cn - mu) * jax.lax.rsqrt(var + 1e-6)
+            cn = cn * pre["ln_scale"][n][None] + pre["ln_bias"][n][None]
+            ctxs.append(cn)
+            alphas.append(an)
+        ctx = jnp.concatenate(ctxs, axis=-1) if nb > 1 else ctxs[0]
+        alpha = jnp.concatenate(alphas, axis=-1) if nb > 1 else alphas[0]
         ctx = self.context_att.drop(ctx, deterministic=deterministic)
 
         # lang LSTM: one matmul over [ctx..., query, lang_h]
-        lang_x = jnp.concatenate(
-            [ctx.reshape(B, nb * vh), query_current, lang_h], axis=-1
-        )
-        gates2 = (
-            jnp.dot(lang_x.astype(cd), pre["Wl"], preferred_element_type=jnp.float32)
-            + pre["bl"]
-        )
-        l_h, l_c = lstm_gates(gates2, lang_c)
+        lang_x = jnp.concatenate([ctx, query_current, lang_h], axis=-1)
+        gates2 = _mm(lang_x, pre["Wl"]) + pre["bl"]
+        l_h, l_c = lstm_gates(gates2, lang_c, cd)
         l_h = self.lang_drop(l_h, deterministic=deterministic)
         decoder_output = jnp.tanh(self.lang_ln(l_h))
-        return decoder_output, q_h, q_c, l_h, l_c, alpha.reshape(B, -1)
+        return decoder_output, q_h, q_c, l_h, l_c, alpha
 
     def decode(
         self,
@@ -248,10 +260,13 @@ class DecoderStep(nn.Module):
         decoder_output, q_h, q_c, l_h, l_c, alpha = self.decode_hidden(
             word, query_h, query_c, lang_h, lang_c, pre, deterministic
         )
-        word_logits = jnp.dot(
-            decoder_output.astype(self.cfg.cdtype), pre["Wv"],
-            preferred_element_type=jnp.float32,
-        ) + pre["bv"]
+        if isinstance(pre["Wv"], tuple):
+            word_logits = qmatmul(decoder_output, *pre["Wv"]) + pre["bv"]
+        else:
+            word_logits = jnp.dot(
+                decoder_output.astype(self.cfg.cdtype), pre["Wv"],
+                preferred_element_type=jnp.float32,
+            ) + pre["bv"]
         return word_logits, q_h, q_c, l_h, l_c, alpha
 
     def __call__(self, carry, x, pre=None, collect_logits: bool = True, deterministic: bool = True):
@@ -303,13 +318,13 @@ class Decoder(nn.Module):
             g = jnp.concatenate([g, jnp.mean(feats2, axis=1)], axis=-1)
         return g
 
-    def _precompute(self, feats, feats2):
+    def _precompute(self, feats, feats2, quant: bool = False):
         cfg = self.cfg
         B = feats.shape[0]
         global_feat = self._global_feat(feats, feats2)
         if feats2 is None:
             feats2 = jnp.zeros((B, 1, cfg.visual_hidden_size), feats.dtype)
-        return self.step.precompute(feats, feats2, global_feat)
+        return self.step.precompute(feats, feats2, global_feat, quant)
 
     def _init_state(self, feats):
         cfg = self.cfg
@@ -337,7 +352,9 @@ class Decoder(nn.Module):
         T = self.cfg.max_words
         B = feats.shape[0]
         infer = captions is None
-        pre = self._precompute(feats, feats2)
+        # int8 quantized matmuls at INFERENCE only (decode_quant='int8')
+        quant = infer and getattr(self.cfg, "decode_quant", "none") == "int8"
+        pre = self._precompute(feats, feats2, quant)
         qh, qc, lh, lc = self._init_state(feats)
         word_id = jnp.full((B,), START_ID, jnp.int32)
         carry = (word_id, qh, qc, lh, lc)
@@ -432,4 +449,5 @@ class Decoder(nn.Module):
         """Initial (state, pre) for beam search (layer.py:450-455)."""
         qh, qc, lh, lc = self._init_state(feats)
         state = {"qh": qh, "qc": qc, "lh": lh, "lc": lc}
-        return state, self._precompute(feats, feats2)
+        quant = getattr(self.cfg, "decode_quant", "none") == "int8"
+        return state, self._precompute(feats, feats2, quant)

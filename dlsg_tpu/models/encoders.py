@@ -120,17 +120,21 @@ class EncoderVisualGraphTUN(nn.Module):
             obj = obj.reshape(B, T * O, -1)
             # NB: reference scales by sqrt of the RAW region feature size
             # (layer.py:187 uses obj_size from obj_feats.size()).
+            # Transposed layout [b, t, n]: the softmax over the T*O object
+            # axis (reference softmax dim=1 on [b, n, t]) runs over the MINOR
+            # axis here — the [.., t=26]-lane layout wastes 80% of each
+            # vector register and reduces across sublanes. Same math.
             adj = jnp.einsum(
-                "bnd,btd->bnt",
-                obj.astype(cfg.cdtype),
+                "btd,bnd->btn",
                 visual_embed.astype(cfg.cdtype),
+                obj.astype(cfg.cdtype),
                 preferred_element_type=jnp.float32,
             ) / math.sqrt(obj_size)
-            adj = nn.softmax(adj, axis=1)  # over the T*O object axis
+            adj = nn.softmax(adj, axis=-1)  # over the T*O object axis
             obj_agg = jnp.einsum(
-                "bnd,bnt->btd",
-                obj.astype(cfg.cdtype),
+                "btn,bnd->btd",
                 adj.astype(cfg.cdtype),
+                obj.astype(cfg.cdtype),
                 preferred_element_type=jnp.float32,
             )
             obj_visual = obj_agg + visual_embed
@@ -164,7 +168,7 @@ class CapGnnEncoder(nn.Module):
         # (model.py:69-71); a joint [2048, 2*rps] kernel halves the dominant
         # HBM read of encode (981 MB at bench dims) and doubles MXU tile work
         O = region_feats.shape[2]
-        if O >= 5:
+        if O >= 5 and cfg.joint_region_projection:
             joint = nn.Dense(
                 2 * cfg.region_projected_size, dtype=cfg.cdtype, name="obj_embed_joint"
             )(region_feats)

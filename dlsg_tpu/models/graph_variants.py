@@ -94,8 +94,8 @@ class GraphAttentionLayer(nn.Module):
 
         hs = start_feature @ Ws  # [B, N1, F]
         he = end_feature @ We  # [B, N2, F]
-        # pairwise concat scores e_ij = leakyrelu([hs_i || he_j] a)
-        score = hs @ a[: self.out_features, 0] if False else None  # (decomposed below)
+        # pairwise concat scores e_ij = leakyrelu([hs_i || he_j] a), decomposed
+        # into two rank-1 contractions (no [B, N1, N2, 2F] concat materialized)
         s1 = jnp.einsum("bnf,f->bn", hs, a[: self.out_features, 0])
         s2 = jnp.einsum("bmf,f->bm", he, a[self.out_features :, 0])
         att = nn.leaky_relu(s1[:, :, None] + s2[:, None, :], self.alpha)  # [B,N1,N2]

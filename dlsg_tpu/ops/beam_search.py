@@ -30,6 +30,39 @@ def _expand_to_beams(x, beam_size):
     return jnp.repeat(x, beam_size, axis=0)
 
 
+_GROUP = 128  # one vector register of lanes
+
+
+def grouped_top_k(lp: jnp.ndarray, k: int):
+    """Top-k over a wide row via a group-max hierarchy.
+
+    `lax.top_k` over a [G, 10k] row is a multi-pass sort; this does one cheap
+    reduction to per-128-lane group maxima, a tiny top-k over the ~80 groups,
+    a [G, k, 128] block gather, and a final tiny top-k. Exact: if an element
+    is among the global top-k but its group were not among the top-k groups,
+    k groups would each hold a larger element — contradiction. Tie-break can
+    differ from lax.top_k only when equal values span different 128-groups
+    (measure-zero for real logits).
+
+    Returns (vals [G, k], ids [G, k]) sorted descending.
+    """
+    G, V = lp.shape
+    if V <= _GROUP * max(k, 4):  # few groups: the hierarchy can't help
+        return jax.lax.top_k(lp, k)
+    pad = (-V) % _GROUP
+    if pad:
+        lp = jnp.pad(lp, ((0, 0), (0, pad)), constant_values=-1e30)
+    ng = lp.shape[1] // _GROUP
+    r = lp.reshape(G, ng, _GROUP)
+    gmax = jnp.max(r, axis=-1)  # [G, ng] — one pass
+    _, top_g = jax.lax.top_k(gmax, k)  # [G, k] — tiny
+    blocks = jnp.take_along_axis(r, top_g[:, :, None], axis=1)  # [G, k, 128]
+    vals, local = jax.lax.top_k(blocks.reshape(G, k * _GROUP), k)
+    grp = jnp.take_along_axis(top_g, local // _GROUP, axis=1)
+    ids = grp * _GROUP + local % _GROUP
+    return vals, ids
+
+
 def beam_search(
     start_tokens: jnp.ndarray,
     init_state,
@@ -42,6 +75,7 @@ def beam_search(
     normalize: bool = False,
     sparse_step: bool = False,
     fast_lse: bool = False,
+    grouped_topk: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run beam search.
 
@@ -86,6 +120,11 @@ def beam_search(
             return jnp.log(jnp.sum(jnp.exp(jnp.minimum(lp, 80.0)), axis=-1))
         return jax.nn.logsumexp(lp, axis=-1)
 
+    def _topk(lp, kk):
+        if grouped_topk:
+            return grouped_top_k(lp, kk)
+        return jax.lax.top_k(lp, kk)
+
     # ---- first step: B -> B*beam expansion (allennlp_beamsearch.py:107-160) ----
     out0 = step_fn(start_tokens, init_state)
     if sparse_step:
@@ -101,7 +140,7 @@ def beam_search(
         has_aux = len(out0) > 2
         aux0 = out0[2] if has_aux else None  # [B, ...], shared by all first beams
         V = log_probs0.shape[-1]
-        start_top_lp, start_ids = jax.lax.top_k(log_probs0, beam_size)  # [B, beam]
+        start_top_lp, start_ids = _topk(log_probs0, beam_size)  # [B, beam]
         if normalize:
             start_top_lp = start_top_lp - _lse(log_probs0)[:, None]
         # one-hot row forcing <end> after a finished beam
@@ -114,7 +153,7 @@ def beam_search(
     forced_vals = jnp.full((pnbs,), -jnp.inf).at[0].set(0.0)
     forced_ids = jnp.full((pnbs,), end_id, jnp.int32)
 
-    def scan_body(carry, _):
+    def step_math(carry):
         last_preds, last_lp, state = carry  # [B,beam], [B,beam], [B*beam,...]
         flat_preds = last_preds.reshape(B * beam_size)
         out = step_fn(flat_preds, state)  # [B*beam, V]
@@ -128,7 +167,7 @@ def beam_search(
             lp, new_state = out[0], out[1]
             # aux is indexed by PARENT beam row (the row that was expanded)
             aux = out[2].reshape(B, beam_size, *out[2].shape[1:]) if has_aux else ()
-            vals, top_ids = jax.lax.top_k(lp, pnbs)  # [B*beam, pnbs]
+            vals, top_ids = _topk(lp, pnbs)  # [B*beam, pnbs]
             vals = vals - _lse(lp)[:, None]
             top_lp = jnp.where(ended, forced_vals[None, :], vals)
             top_ids = jnp.where(ended, forced_ids[None, :], top_ids)
@@ -154,6 +193,32 @@ def beam_search(
 
         new_state = jax.tree_util.tree_map(reorder, new_state)
         return (preds_t, beam_lp, new_state), (preds_t, backptr, aux)
+
+    identity_ptr = jnp.tile(jnp.arange(beam_size)[None, :], (B, 1))
+
+    def scan_body(carry, _):
+        # EARLY EXIT (allennlp_beamsearch.py:168-169 "all beams ended ->
+        # break"): once every hypothesis has emitted <end>, the forced-end
+        # math makes further steps exact no-ops emitting (<end>, identity
+        # backptr, unchanged scores) — skip the whole decoder step via
+        # lax.cond. Real captions end well before max_words, so this removes
+        # most of the loop's matmuls in production decodes. Post-end
+        # attention aux is zero here (the full-compute path would emit the
+        # decoder's post-<end> attention, which is meaningless anyway).
+        all_ended = jnp.all(carry[0] == end_id)
+
+        def skip(carry):
+            last_preds, last_lp, state = carry
+            preds_t = jnp.full((B, beam_size), end_id, jnp.int32)
+            if has_aux:
+                aux = jnp.zeros(
+                    (B, beam_size, *aux0.shape[1:]), aux0.dtype
+                )
+            else:
+                aux = ()
+            return (preds_t, last_lp, state), (preds_t, identity_ptr, aux)
+
+        return jax.lax.cond(all_ended, skip, step_math, carry)
 
     (final_preds, final_lp, _), (preds_seq, backptr_seq, aux_seq) = jax.lax.scan(
         scan_body,

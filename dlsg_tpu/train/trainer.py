@@ -34,6 +34,7 @@ from dlsg_tpu.train.optim import TrainState, make_optimizer, multistep_lr
 from dlsg_tpu.train.schedule import saving_schedule, scheduled_sampling_epsilon
 from dlsg_tpu.train.steps import make_ce_train_step, make_gan_train_step
 from dlsg_tpu.utils.logging import MetricsWriter
+from dlsg_tpu.utils.profiler import Stopwatch
 from dlsg_tpu.vocab import Vocabulary
 
 G_LR_MILESTONES = (4, 7)  # run_gun.py:94
@@ -63,6 +64,7 @@ class _TrainerBase:
         self.is_leader = jax.process_index() == 0
         self.base_name = cfg.base_name()
         self.rng = jax.random.key(cfg.seed, impl=cfg.rng_impl)
+        self.stopwatch = Stopwatch()
         self.last_epoch = -1
         self.resume_epoch = resume_epoch
 
@@ -140,6 +142,10 @@ class _TrainerBase:
             print(*args)
 
     def _run_eval(self, variables, epoch: int, global_step: int):
+        with self.stopwatch.span("eval"):
+            return self._run_eval_inner(variables, epoch, global_step)
+
+    def _run_eval_inner(self, variables, epoch: int, global_step: int):
         cfg = self.cfg
         t0 = time.time()
         eval_iter = eval_batches(self.eval_dataset, cfg.test_batch_size)
@@ -262,16 +268,30 @@ class RunGAN(_TrainerBase):
                     k: batch[k] for k in ("frames", "regions", "captions", "lengths")
                 }
 
+                # device trace of steps 3..5 of the first epoch (profiler.md)
+                tracing = (
+                    cfg.profile_dir and epoch == self.last_epoch + 1 and i == 3
+                )
+                if tracing:
+                    jax.profiler.start_trace(cfg.profile_dir)
+                with self.stopwatch.span("train_step"):
+                    if self.use_visual_gan:
+                        self.gen_state, self.disc_state, self.lambda_state, metrics = self.gan_step(
+                            self.gen_state,
+                            self.disc_state,
+                            self.lambda_state,
+                            step_batch,
+                            step_rng,
+                            jnp.float32(epsilon),
+                        )
+                    else:
+                        self.gen_state, metrics = self.ce_step(
+                            self.gen_state, step_batch, step_rng, jnp.float32(epsilon)
+                        )
+                    cap_loss = float(metrics["cap_loss"])  # host sync ends the span
+                if cfg.profile_dir and epoch == self.last_epoch + 1 and i == 5:
+                    jax.profiler.stop_trace()
                 if self.use_visual_gan:
-                    self.gen_state, self.disc_state, self.lambda_state, metrics = self.gan_step(
-                        self.gen_state,
-                        self.disc_state,
-                        self.lambda_state,
-                        step_batch,
-                        step_rng,
-                        jnp.float32(epsilon),
-                    )
-                    cap_loss = float(metrics["cap_loss"])
                     gan_lambda = float(metrics["gan_lambda"])
                     loss_count_g += float(metrics["loss_G"])
                     loss_count_d += float(metrics["loss_D"])
@@ -281,11 +301,6 @@ class RunGAN(_TrainerBase):
                         "Loss/wasserstein_visual", float(metrics["wasserstein"]), global_step
                     )
                     self.writer.add_scalar("parameter/gan_lambda", gan_lambda, global_step)
-                else:
-                    self.gen_state, metrics = self.ce_step(
-                        self.gen_state, step_batch, step_rng, jnp.float32(epsilon)
-                    )
-                    cap_loss = float(metrics["cap_loss"])
                 loss_count += cap_loss
                 self.writer.add_scalar("Loss/cap_loss", cap_loss, global_step)
 
@@ -320,7 +335,8 @@ class RunGAN(_TrainerBase):
                         )
 
             self.result_handler.print_results()
-            self._print(f"*******One epoch time: {time.time() - start_time:.3f}s*******\n")
+            self._print(f"*******One epoch time: {time.time() - start_time:.3f}s*******")
+            self._print(self.stopwatch.report() + "\n")
         return self.result_handler
 
 

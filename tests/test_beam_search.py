@@ -152,3 +152,49 @@ def test_normalize_path_equals_logsoftmax_path():
                          beam_size=3, normalize=False)
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
+def test_grouped_top_k_matches_lax():
+    """grouped_top_k == lax.top_k on tie-free inputs (any V, padded or not)."""
+    import numpy as np
+
+    from dlsg_tpu.ops.beam_search import grouped_top_k
+
+    rng = np.random.default_rng(0)
+    for G, V, k in ((8, 1000, 5), (16, 10000, 5), (4, 200, 3), (5, 128, 2)):
+        lp = jnp.asarray(rng.normal(size=(G, V)), jnp.float32)
+        gv, gi = grouped_top_k(lp, k)
+        rv, ri = jax.lax.top_k(lp, k)
+        np.testing.assert_array_equal(np.asarray(gi), np.asarray(ri))
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(rv))
+
+
+def test_early_exit_skip_preserves_semantics():
+    """Once every beam emits <end>, remaining steps are skipped via lax.cond;
+    predictions and scores must equal the forced-end math they replace."""
+    import numpy as np
+
+    from dlsg_tpu.ops.beam_search import beam_search
+
+    V, B, T, END = 7, 2, 6, 1
+
+    # a step_fn that deterministically walks to <end> by step 2
+    def step_fn(tokens, state):
+        # favor token 3 at step 0/1, then <end> forever
+        step = state["t"]
+        lp = jnp.full((tokens.shape[0], V), -10.0)
+        lp = lp.at[:, 3].set(jnp.where(step < 1, 0.0, -10.0))
+        lp = lp.at[:, END].set(jnp.where(step < 1, -5.0, 0.0))
+        return lp, {"t": jnp.broadcast_to(step + 1, tokens.shape[:1])}
+
+    start = jnp.zeros((B,), jnp.int32)
+    preds, lps = beam_search(
+        start, {"t": jnp.zeros((B,), jnp.int32)}, step_fn,
+        end_id=END, max_steps=T, beam_size=2,
+    )
+    preds = np.asarray(preds)
+    # best beam: token 3 then <end>, padded with <end> by the skip path
+    assert (preds[:, 0, 0] == 3).all()
+    assert (preds[:, 0, 1] == END).all()
+    assert (preds[:, :, 2:] == END).all()
+    assert np.isfinite(np.asarray(lps)).all()

@@ -97,6 +97,18 @@ def test_heldout_generalization_ce():
     assert held_after["Bleu_1"] > max(0.6, before["Bleu_1"] + 0.3), (before, held_after)
     assert held_after["CIDEr"] > before["CIDEr"] + 0.5, (before, held_after)
 
+    # int8 quantized inference on the TRAINED model scores on par with fp32
+    # (decode_quant='int8', ops/quant.py) — the quality evidence behind the
+    # quantized serving path
+    from dataclasses import replace
+
+    q8_fn = make_decode_fn(gen, replace(cfg, decode_quant="int8"),
+                           beam_size=cfg.beam_size)
+    held_q8 = _score(q8_fn, state.params, ds.heldout_view(),
+                     ds.heldout_references, vocab, cfg.test_batch_size)
+    assert held_q8["Bleu_1"] > held_after["Bleu_1"] - 0.1, (held_after, held_q8)
+    assert held_q8["CIDEr"] > held_after["CIDEr"] - 0.5, (held_after, held_q8)
+
 
 @pytest.mark.slow
 def test_gan_dynamics_and_ce_ablation():

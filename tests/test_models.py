@@ -142,8 +142,20 @@ def test_beam_alphas_match_teacher_forced_replay(tiny_cfg, batch):
     ids, alpha_beam = decode(v, frames, regions)
     # replay: feed the predicted tokens as gold with full teacher forcing
     _, _, _, alpha_tf = mod.apply(v, frames, regions, jnp.asarray(ids))
+    # compare only up to (and including) each sequence's first <end>: past it
+    # the early-exit beam path emits zero attention (ops/beam_search.py skip)
+    from dlsg_tpu.vocab import END_ID
+
+    ids_np = np.asarray(ids)
+    T = ids_np.shape[1]
+    first_end = np.where(
+        (ids_np == END_ID).any(1), (ids_np == END_ID).argmax(1), T - 1
+    )
+    step_idx = np.arange(T)[None, :]
+    valid = (step_idx <= first_end[:, None])[:, :, None]
     np.testing.assert_allclose(
-        np.asarray(alpha_beam), np.asarray(alpha_tf)[:, : alpha_beam.shape[1]],
+        np.asarray(alpha_beam) * valid,
+        np.asarray(alpha_tf)[:, : alpha_beam.shape[1]] * valid,
         atol=2e-5,
     )
 
