@@ -48,6 +48,7 @@ class PSLScore2(nn.Module):
     num_psl: int
     num_top: int
     dim: int = 512
+    groups: int = 1
 
     @nn.compact
     def __call__(self, psl, psl_alpha, att_out, seq_mask, deterministic: bool = True):
@@ -80,7 +81,12 @@ class PSLScore2(nn.Module):
         score = JointEmbedVideoModel2(self.dim, name="psl_scorer")(psl_topk, psl_agg)
         score = jnp.squeeze(score, axis=-1)  # [B, K]
         score = jnp.sum(score * adj_alpha, axis=-1) / jnp.sum(adj_alpha, axis=-1)  # [B]
-        # reference quirk: mean over the (local) batch axis (layer.py:714)
+        # reference quirk: mean over the (local) batch axis (layer.py:714).
+        # With `groups`, the batch is `groups` independent sub-batches stacked
+        # (the fused WGAN real|fake|interp pass, ops/losses.py) and the quirk
+        # applies per sub-batch: [groups] means instead of one.
+        if self.groups > 1:
+            return jnp.mean(score.reshape(self.groups, -1), axis=1)  # [groups]
         return jnp.mean(score, axis=-1)
 
 
@@ -138,7 +144,13 @@ class DiscV2(nn.Module):
         att_mask,
         alpha_all,
         deterministic: bool = True,
+        groups: int = 1,
     ):
+        """`groups > 1` scores `groups` independent sub-batches stacked along
+        the batch axis in ONE pass (the fused real|fake|interp WGAN step,
+        ops/losses.py): every op before the PSLScore2 batch-mean quirk is
+        row-independent, and the quirk is applied per sub-batch — exactly
+        equal to `groups` separate calls (tests/test_models.py)."""
         cfg = self.cfg
         P = cfg.num_proposals
         K = cfg.num_topk
@@ -161,10 +173,10 @@ class DiscV2(nn.Module):
         alpha_all = alpha_all * word_mask[:, :, None]
         seq_mask_spl = jnp.repeat(word_mask[:, :, None], K, axis=2)  # [B, T, K]
 
-        obj_score = PSLScore2(P, K, dim=self.dim, name="obj_psl_score")(
+        obj_score = PSLScore2(P, K, dim=self.dim, groups=groups, name="obj_psl_score")(
             obj_proposals, alpha_all[:, :, :P], att_out, seq_mask_spl, deterministic
         )
-        motion_score = PSLScore2(P, K, dim=self.dim, name="motion_psl_score")(
+        motion_score = PSLScore2(P, K, dim=self.dim, groups=groups, name="motion_psl_score")(
             motion_proposals, alpha_all[:, :, -P:], att_out, seq_mask_spl, deterministic
         )
 
@@ -174,4 +186,9 @@ class DiscV2(nn.Module):
             "fusion", xavier_uniform_gain(TANH_GAIN), (2, self.dim), jnp.float32
         )
         fusion_score = nn.softmax(sent_sum @ fusion.T, axis=-1)  # [B, 2]
+        if groups > 1:
+            # broadcast each sub-batch's mean score over its rows
+            n_per = inputs.shape[0] // groups
+            obj_score = jnp.repeat(obj_score, n_per)
+            motion_score = jnp.repeat(motion_score, n_per)
         return obj_score * fusion_score[:, 0] + motion_score * fusion_score[:, 1]

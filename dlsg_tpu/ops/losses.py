@@ -89,6 +89,41 @@ def wgan_d_loss(
     return loss, {"wasserstein": r_loss - f_loss, "gp": gp}
 
 
+def wgan_d_loss_fused(
+    d_fn3: Callable[[jnp.ndarray], jnp.ndarray],
+    real: jnp.ndarray,
+    fake: jnp.ndarray,
+    eps: jnp.ndarray,
+    gp_weight: float = 10.0,
+):
+    """`wgan_d_loss` in ONE discriminator traversal over [real|fake|interp].
+
+    The D substep was latency-bound on op count (~5,400 device ops per substep
+    from three separate discriminator applications, each with a 26-step LSTM
+    scan — BENCHMARKS.md train trace). `d_fn3` scores the three stacked
+    sub-batches in one pass (DiscV2 groups=3: the trunk is row-independent and
+    the batch-mean quirk applies per sub-batch), so scores of one group carry
+    no dependence on the others' rows, and the vjp cotangent selecting the
+    interp rows yields exactly `grad of sum(D(interp))` — the same gradient
+    penalty as `gradient_penalty` (run_gun.py:355-371).
+
+    Returns (loss, aux) identical in value to `wgan_d_loss`.
+    """
+    B = real.shape[0]
+    mixed = real * eps + fake * (1.0 - eps)
+    caps = jnp.concatenate([real, fake, mixed], axis=0)
+    scores, vjp = jax.vjp(d_fn3, caps)
+    r_loss = jnp.mean(scores[:B])
+    f_loss = jnp.mean(scores[B : 2 * B])
+    cot = jnp.zeros_like(scores).at[2 * B :].set(1.0)
+    (gcaps,) = vjp(cot)
+    grads = gcaps[2 * B :].reshape(B, -1)
+    norm = jnp.linalg.norm(grads, axis=1)
+    gp = jnp.mean((norm - 1.0) ** 2)
+    loss = f_loss - r_loss + gp_weight * gp
+    return loss, {"wasserstein": r_loss - f_loss, "gp": gp}
+
+
 def wgan_g_loss(f_logit: jnp.ndarray) -> jnp.ndarray:
     """Generator adversarial loss: -mean(D(fake)) (run_gun.py:219)."""
     return -jnp.mean(f_logit)

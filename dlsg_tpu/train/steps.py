@@ -30,6 +30,7 @@ from dlsg_tpu.ops.losses import (
     masked_cross_entropy,
     to_onehot,
     wgan_d_loss,
+    wgan_d_loss_fused,
     wgan_g_loss,
 )
 from dlsg_tpu.parallel.mesh import DATA_AXIS
@@ -118,6 +119,18 @@ def make_gan_train_step(gen_model, disc_model, cfg: DLSGConfig, mesh: Optional[M
         motion_psl = jax.lax.stop_gradient(motion_psl)
         alpha_all = jax.lax.stop_gradient(alpha_all)
 
+        # the substep scores real|fake in ONE grouped trunk pass (DiscV2
+        # groups=2 — no input gradients needed for those terms) and runs the
+        # gradient penalty separately at B: fully fusing interp in too
+        # (wgan_d_loss_fused, groups=3) measured SLOWER (157.8 vs 126.7 ms
+        # full step) because the input-grad and double-backward then run at
+        # 3B — the zero-cotangent rows still pay dense backward flops
+        obj2 = jnp.concatenate([obj_psl] * 2, axis=0)
+        mot2 = jnp.concatenate([motion_psl] * 2, axis=0)
+        att2 = jnp.concatenate([att_mask] * 2, axis=0)
+        alpha2 = jnp.concatenate([alpha_all] * 2, axis=0)
+        B = r_caption.shape[0]
+
         def d_substep(dstate: TrainState, sub_rng):
             k_eps, k_drop = jax.random.split(sub_rng)
             eps_gp = jax.random.uniform(k_eps, (f_caption.shape[0], 1, 1))
@@ -135,7 +148,27 @@ def make_gan_train_step(gen_model, disc_model, cfg: DLSGConfig, mesh: Optional[M
                         rngs={"dropout": k_drop},
                     )
 
-                return wgan_d_loss(d_fn, r_caption, f_caption, eps_gp)
+                def d_fn2(caps):
+                    return disc_model.apply(
+                        {"params": dparams},
+                        caps,
+                        obj2,
+                        mot2,
+                        att2,
+                        alpha2,
+                        False,
+                        groups=2,
+                        rngs={"dropout": k_drop},
+                    )
+
+                from dlsg_tpu.ops.losses import gradient_penalty
+
+                scores = d_fn2(jnp.concatenate([r_caption, f_caption], axis=0))
+                r_loss = jnp.mean(scores[:B])
+                f_loss = jnp.mean(scores[B:])
+                gp = gradient_penalty(d_fn, r_caption, f_caption, eps_gp)
+                loss = f_loss - r_loss + 10.0 * gp
+                return loss, {"wasserstein": r_loss - f_loss, "gp": gp}
 
             (loss_d, aux), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
                 dstate.params

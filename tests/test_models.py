@@ -217,3 +217,76 @@ def test_bf16_compute_mode(tiny_cfg, batch):
     assert np.all(np.isfinite(out))
     leaf = jax.tree_util.tree_leaves(v["params"])[0]
     assert leaf.dtype == jnp.float32
+
+
+def test_discv2_grouped_equals_separate(tiny_cfg, batch):
+    """DiscV2(groups=3) over stacked sub-batches == three separate calls
+    (the fused WGAN substep's correctness contract)."""
+    cfg = tiny_cfg
+    frames, regions, captions, _ = batch
+    B = captions.shape[0]
+    rng = np.random.default_rng(9)
+    P, H = cfg.num_proposals, cfg.visual_hidden_size
+    T = cfg.max_words
+    obj = jnp.asarray(rng.normal(size=(B, P, H)), jnp.float32)
+    mot = jnp.asarray(rng.normal(size=(B, P, H)), jnp.float32)
+    att = jnp.ones((B, T, T))
+    alpha = jax.nn.softmax(jnp.asarray(rng.normal(size=(B, T, 2 * P)), jnp.float32), 1)
+    caps = [jax.nn.one_hot(jnp.asarray(rng.integers(0, VOCAB, size=(B, T))), VOCAB)
+            for _ in range(3)]
+
+    mod = DiscV2(cfg, VOCAB)
+    v = mod.init(jax.random.PRNGKey(0), caps[0], obj, mot, att, alpha)
+
+    sep = [np.asarray(mod.apply(v, c, obj, mot, att, alpha)) for c in caps]
+    stacked = mod.apply(
+        v,
+        jnp.concatenate(caps, 0),
+        jnp.concatenate([obj] * 3, 0),
+        jnp.concatenate([mot] * 3, 0),
+        jnp.concatenate([att] * 3, 0),
+        jnp.concatenate([alpha] * 3, 0),
+        groups=3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(stacked), np.concatenate(sep), atol=1e-5
+    )
+
+
+def test_wgan_d_loss_fused_equals_plain(tiny_cfg, batch):
+    """wgan_d_loss_fused == wgan_d_loss (loss, wasserstein, gp) with the same
+    deterministic discriminator."""
+    from dlsg_tpu.ops.losses import to_onehot, wgan_d_loss, wgan_d_loss_fused
+
+    cfg = tiny_cfg
+    frames, regions, captions, _ = batch
+    B = captions.shape[0]
+    rng = np.random.default_rng(5)
+    P, H, T = cfg.num_proposals, cfg.visual_hidden_size, cfg.max_words
+    obj = jnp.asarray(rng.normal(size=(B, P, H)), jnp.float32)
+    mot = jnp.asarray(rng.normal(size=(B, P, H)), jnp.float32)
+    att = jnp.ones((B, T, T))
+    alpha = jax.nn.softmax(jnp.asarray(rng.normal(size=(B, T, 2 * P)), jnp.float32), 1)
+    real = to_onehot(captions, VOCAB)
+    fake = jax.nn.softmax(jnp.asarray(rng.normal(size=(B, T, VOCAB)), jnp.float32))
+    eps = jnp.asarray(rng.uniform(size=(B, 1, 1)), jnp.float32)
+
+    mod = DiscV2(cfg, VOCAB)
+    v = mod.init(jax.random.PRNGKey(0), real, obj, mot, att, alpha)
+
+    def d_fn(caps):
+        return mod.apply(v, caps, obj, mot, att, alpha)
+
+    def d_fn3(caps):
+        return mod.apply(
+            v, caps,
+            jnp.concatenate([obj] * 3, 0), jnp.concatenate([mot] * 3, 0),
+            jnp.concatenate([att] * 3, 0), jnp.concatenate([alpha] * 3, 0),
+            groups=3,
+        )
+
+    l1, a1 = wgan_d_loss(d_fn, real, fake, eps)
+    l2, a2 = wgan_d_loss_fused(d_fn3, real, fake, eps)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(a1["wasserstein"]), float(a2["wasserstein"]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(a1["gp"]), float(a2["gp"]), rtol=1e-4, atol=1e-5)
