@@ -167,3 +167,27 @@ def test_baseline_trainer_one_epoch(tmp_path):
     runner = Run(cfg, vocab, ds, ds.eval_view(), ds.references)
     handler = runner.train()
     assert handler is not None
+
+
+@pytest.mark.slow
+def test_trainer_profile_dir_writes_trace(tmp_path):
+    """cfg.profile_dir: the trainer traces steps 3-5 of the first epoch and
+    reports Stopwatch spans (utils/profiler wiring)."""
+    from dlsg_tpu.train.trainer import RunGAN
+
+    cfg = tiny_test_config(
+        epoch_num=1,
+        result_dir=str(tmp_path / "results"),
+        profile_dir=str(tmp_path / "trace"),
+        train_batch_size=4,
+        test_batch_size=4,
+        beam_size=2,
+    )
+    vocab = make_vocab()
+    ds = SyntheticDataset(cfg, vocab, num_videos=16, captions_per_video=2)
+    runner = RunGAN(cfg, vocab, ds, ds.eval_view(), ds.references)
+    runner.train()
+    trace_files = list((tmp_path / "trace").rglob("*"))
+    assert any(p.is_file() for p in trace_files), trace_files
+    assert runner.stopwatch.counts.get("train_step", 0) > 0
+    assert "train_step" in runner.stopwatch.report()
