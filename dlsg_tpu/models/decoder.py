@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from dlsg_tpu.config import DLSGConfig
-from dlsg_tpu.models.layers import AttentionShare
+from dlsg_tpu.models.layers import AttentionShare, LN_EPS
 from dlsg_tpu.ops.lstm import LSTMCell, SplitInputLSTMCell, lstm_gates
 from dlsg_tpu.ops.quant import qmatmul, quantize_per_col
 from dlsg_tpu.vocab import START_ID
@@ -72,7 +72,7 @@ class DecoderStep(nn.Module):
         self.query_lstm = SplitInputLSTMCell(
             cfg.query_hidden_size, dtype=cfg.cdtype, name="query_lstm"
         )
-        self.query_ln = nn.LayerNorm(name="query_lstm_layernorm")
+        self.query_ln = nn.LayerNorm(epsilon=LN_EPS, name="query_lstm_layernorm")
         self.query_drop = nn.Dropout(cfg.dropout)
         self.context_att = AttentionShare(
             cfg.visual_hidden_size,
@@ -90,7 +90,7 @@ class DecoderStep(nn.Module):
                 name="context_att_2",
             )
         self.lang_lstm = LSTMCell(cfg.decode_hidden_size, dtype=cfg.cdtype, name="lang_lstm")
-        self.lang_ln = nn.LayerNorm(name="lang_lstm_layernorm")
+        self.lang_ln = nn.LayerNorm(epsilon=LN_EPS, name="lang_lstm_layernorm")
         self.lang_drop = nn.Dropout(cfg.dropout)
         self.word_restore = nn.Dense(
             self.vocab_size,
@@ -231,7 +231,7 @@ class DecoderStep(nn.Module):
             cn = jnp.tanh(cn)
             mu = jnp.mean(cn, axis=-1, keepdims=True)
             var = jnp.maximum(jnp.mean(cn * cn, axis=-1, keepdims=True) - mu * mu, 0.0)
-            cn = (cn - mu) * jax.lax.rsqrt(var + 1e-6)
+            cn = (cn - mu) * jax.lax.rsqrt(var + LN_EPS)
             cn = cn * pre["ln_scale"][n][None] + pre["ln_bias"][n][None]
             ctxs.append(cn)
             alphas.append(an)

@@ -31,6 +31,7 @@ from dlsg_tpu.models.layers import (
     ResBlock,
     SelfAttention,
     TanhLayerNorm,
+    LN_EPS,
     NEG_FILL,
     xavier_uniform_gain,
     TANH_GAIN,
@@ -160,7 +161,7 @@ class DiscV2(nn.Module):
         h = h.astype(jnp.float32)
         h = ResBlock(self.dim, name="block")(h)
         h = LSTMSequence(self.dim, dtype=cfg.cdtype, name="lstm")(h)
-        h = nn.LayerNorm(name="layer_norm")(h)
+        h = nn.LayerNorm(epsilon=LN_EPS, name="layer_norm")(h)
         h = nn.Dropout(0.3)(h, deterministic=deterministic)
 
         att_out = SelfAttention(

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from dlsg_tpu.config import DLSGConfig
-from dlsg_tpu.models.layers import SelfAttention, LatentPSL, TanhLayerNorm
+from dlsg_tpu.models.layers import SelfAttention, LatentPSL, TanhLayerNorm, LN_EPS
 from dlsg_tpu.ops.lstm import BiLSTM
 
 
@@ -51,14 +51,14 @@ class EncoderVisual(nn.Module):
         x = BiLSTM(
             H, dtype=cfg.cdtype, use_pallas=cfg.use_pallas_lstm, name="lstm"
         )(x)  # [B, T, 2H]
-        x = nn.LayerNorm(name="layernorm_lstm")(x)
+        x = nn.LayerNorm(epsilon=LN_EPS, name="layernorm_lstm")(x)
         x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
         if not self.baseline:
             x = SelfAttention(
                 2 * H, 2 * H, H, cfg.dropout, get_pe=True, dtype=cfg.cdtype,
                 name="self_attention",
             )(x, deterministic=deterministic)
-            x = nn.LayerNorm(name="layernorm_sa")(x)
+            x = nn.LayerNorm(epsilon=LN_EPS, name="layernorm_sa")(x)
         else:
             x = nn.Dense(
                 H, kernel_init=nn.initializers.xavier_normal(), name="out_try"

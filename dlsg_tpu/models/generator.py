@@ -19,7 +19,26 @@ from dlsg_tpu.models.decoder import Decoder
 from dlsg_tpu.models.encoders import CapGnnEncoder, EncoderVisual
 
 
-class CapGnnModel(nn.Module):
+class _BeamDecodeMixin:
+    """Decoder passthroughs shared by every generator so the beam driver
+    (evaluation/evaluate.py make_decode_fn) can drive any of them — the
+    reference beam-decodes ALL trainers' evals (its Decoder owns the beam,
+    layer.py:449-460, beam size from opt.py:22)."""
+
+    def decoder_beam_step(self, word_id, state, pre):
+        return self.decoder.beam_step(word_id, state, pre)
+
+    def decoder_beam_step_hidden(self, word_id, state, pre):
+        return self.decoder.beam_step_hidden(word_id, state, pre)
+
+    def decoder_vocab_head(self):
+        return self.decoder.vocab_head_weights()
+
+    def decoder_init_beam_state(self, feats, feats2):
+        return self.decoder.init_beam_state(feats, feats2)
+
+
+class CapGnnModel(nn.Module, _BeamDecodeMixin):
     """Latent-semantic-graph captioning generator (models/model.py:25-53)."""
 
     cfg: DLSGConfig
@@ -49,20 +68,8 @@ class CapGnnModel(nn.Module):
         """Encoder only (deterministic) — used by the beam-decode path."""
         return self.encoder(visual_feats, region_feats, True)
 
-    def decoder_beam_step(self, word_id, state, pre):
-        return self.decoder.beam_step(word_id, state, pre)
 
-    def decoder_beam_step_hidden(self, word_id, state, pre):
-        return self.decoder.beam_step_hidden(word_id, state, pre)
-
-    def decoder_vocab_head(self):
-        return self.decoder.vocab_head_weights()
-
-    def decoder_init_beam_state(self, feats, feats2):
-        return self.decoder.init_beam_state(feats, feats2)
-
-
-class CapModel(nn.Module):
+class CapModel(nn.Module, _BeamDecodeMixin):
     """Frames-only encoder + single-modal decoder (models/model.py:10-22)."""
 
     cfg: DLSGConfig
@@ -85,8 +92,13 @@ class CapModel(nn.Module):
         outputs, _ = self.decoder(enc, caption, teacher_forcing_ratio, None, deterministic)
         return outputs
 
+    def encode(self, visual_feats, region_feats=None):
+        """Frames-only: region features are accepted and ignored so the shared
+        beam driver can call every generator with the same signature."""
+        return self.encoder(visual_feats, True), None
 
-class CapBaselineModel(nn.Module):
+
+class CapBaselineModel(nn.Module, _BeamDecodeMixin):
     """Graph-encoder ablation: decodes from motion proposals only
     (models/model.py:76-91)."""
 
@@ -113,8 +125,12 @@ class CapBaselineModel(nn.Module):
         )
         return outputs, 0, 0, 0
 
+    def encode(self, visual_feats, region_feats):
+        _, motion = self.encoder(visual_feats, region_feats, True)
+        return motion, None
 
-class CapBaseline1(nn.Module):
+
+class CapBaseline1(nn.Module, _BeamDecodeMixin):
     """Bi-LSTM-only baseline used by run_graph.Run (models/model.py:94-107)."""
 
     cfg: DLSGConfig
@@ -137,3 +153,6 @@ class CapBaseline1(nn.Module):
         enc = self.encoder(visual_feats, deterministic)
         outputs, _ = self.decoder(enc, caption, teacher_forcing_ratio, None, deterministic)
         return outputs, 0, 0, 0
+
+    def encode(self, visual_feats, region_feats=None):
+        return self.encoder(visual_feats, True), None

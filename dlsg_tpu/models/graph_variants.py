@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from dlsg_tpu.config import DLSGConfig
-from dlsg_tpu.models.layers import SelfAttention
+from dlsg_tpu.models.layers import SelfAttention, LN_EPS
 
 
 def _l2_normalize(x, axis):
@@ -136,7 +136,7 @@ class EncoderVisualGraph(nn.Module):
         adj = jnp.swapaxes(adj, 1, 2)  # [B, P, T]
         adj = _l2_normalize(adj, axis=2)
         latent = jnp.einsum("bpt,btd->bpd", adj, obj_visual)
-        latent = nn.LayerNorm(name="att_l2l_norm")(latent)
+        latent = nn.LayerNorm(epsilon=LN_EPS, name="att_l2l_norm")(latent)
         latent = SelfAttention(
             cfg.visual_hidden_size,
             cfg.visual_hidden_size,
@@ -144,7 +144,7 @@ class EncoderVisualGraph(nn.Module):
             cfg.dropout,
             name="att_l2l",
         )(latent, deterministic=deterministic)
-        return nn.LayerNorm(name="att_l2l_norm2")(latent)
+        return nn.LayerNorm(epsilon=LN_EPS, name="att_l2l_norm2")(latent)
 
 
 class EncoderVisualGAT(nn.Module):
@@ -178,7 +178,7 @@ class EncoderVisualGAT(nn.Module):
         adj = jnp.swapaxes(adj, 1, 2)
         adj = _l2_normalize(adj, axis=2)
         latent = jnp.einsum("bpt,btd->bpd", adj, obj_visual)
-        latent = nn.LayerNorm(name="att_l2l_norm")(latent)
+        latent = nn.LayerNorm(epsilon=LN_EPS, name="att_l2l_norm")(latent)
         latent = SelfAttention(
             cfg.visual_hidden_size,
             cfg.visual_hidden_size,
@@ -186,4 +186,4 @@ class EncoderVisualGAT(nn.Module):
             cfg.dropout,
             name="att_l2l",
         )(latent, deterministic=deterministic)
-        return nn.LayerNorm(name="att_l2l_norm2")(latent)
+        return nn.LayerNorm(epsilon=LN_EPS, name="att_l2l_norm2")(latent)

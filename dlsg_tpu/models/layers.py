@@ -19,6 +19,11 @@ from flax import linen as nn
 
 NEG_FILL = -9e15  # reference mask fill value (models/sublayer.py:71, layer.py:648)
 
+# torch nn.LayerNorm's default eps (the reference never overrides it). flax
+# defaults to 1e-6; every LayerNorm here pins 1e-5 so converted reference
+# checkpoints are forward-equivalent (tests/test_forward_parity.py).
+LN_EPS = 1e-5
+
 # Xavier-uniform with tanh gain — torch's
 # `xavier_uniform_(w, gain=calculate_gain('tanh'))` (sublayer.py:182).
 TANH_GAIN = 5.0 / 3.0
@@ -120,7 +125,7 @@ class AttentionShare(nn.Module):
         self.Q_proj = nn.Dense(self.output_size, use_bias=False, dtype=self.dtype, name="Q")
         self.V_proj = nn.Dense(self.output_size, use_bias=False, dtype=self.dtype, name="V")
         self.out_proj = nn.Dense(self.output_size, use_bias=False, dtype=self.dtype, name="out")
-        self.ln = nn.LayerNorm(name="ln")
+        self.ln = nn.LayerNorm(epsilon=LN_EPS, name="ln")
         self.drop = nn.Dropout(self.dropout)
 
     def precompute(self, meta_state):
@@ -187,13 +192,20 @@ class LatentPSL(nn.Module):
         adj = nn.softmax(adj, axis=1)  # normalize over the sequence axis
         out = jnp.einsum("btp,btd->bpd", adj, x)
         out = jnp.tanh(out)
-        out = nn.LayerNorm(name="ln")(out)
+        out = nn.LayerNorm(epsilon=LN_EPS, name="ln")(out)
         out = nn.Dropout(0.3)(out, deterministic=deterministic)
         return out
 
 
 class ResBlock(nn.Module):
-    """x + 0.3 * Conv1d(relu(x), k=3, same) over the time axis (sublayer.py:107-119).
+    """relu(x) + 0.3 * Conv1d(relu(x), k=3, same) over the time axis
+    (sublayer.py:107-119).
+
+    NB: the reference's `nn.ReLU(True)` is INPLACE — it mutates the residual
+    input before the add, so the network it actually trains/evaluates is
+    `relu(x) + 0.3*conv(relu(x))`, not the `x + 0.3*conv(relu(x))` its code
+    shape suggests. Verified against the real torch module
+    (tests/test_forward_parity.py).
 
     Operates in [B, T, C] layout (feature-last, TPU-friendly).
     """
@@ -203,8 +215,7 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         h = nn.relu(x)
-        h = nn.Conv(self.dim, kernel_size=(3,), padding="SAME", name="conv")(h)
-        return x + 0.3 * h
+        return h + 0.3 * nn.Conv(self.dim, kernel_size=(3,), padding="SAME", name="conv")(h)
 
 
 class JointEmbedVideoModel2(nn.Module):
@@ -230,4 +241,4 @@ class TanhLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.LayerNorm(dtype=self.dtype, name="ln")(jnp.tanh(x))
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln")(jnp.tanh(x))

@@ -17,7 +17,7 @@ from dlsg_tpu.ops.lstm import lstm_gates
 VOCAB = 40
 
 
-def _ln(x, scale, bias, eps=1e-6):
+def _ln(x, scale, bias, eps=1e-5):  # torch nn.LayerNorm default (LN_EPS)
     mu = x.mean(-1, keepdims=True)
     var = np.maximum((x * x).mean(-1, keepdims=True) - mu * mu, 0.0)
     return (x - mu) / np.sqrt(var + eps) * scale + bias

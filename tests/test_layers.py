@@ -76,9 +76,11 @@ def test_resblock_residual_scale(rng):
     variables = mod.init(rng, x)
     out = mod.apply(variables, x)
     assert out.shape == x.shape
-    # zero conv kernel -> identity + 0.3*0
+    # zero conv kernel -> relu(x) + 0.3*0: the reference's inplace ReLU
+    # (sublayer.py:111 `nn.ReLU(True)`) rectifies the residual input too —
+    # verified against the real torch module in tests/test_forward_parity.py
     zeroed = jax.tree_util.tree_map(jnp.zeros_like, variables)
-    np.testing.assert_allclose(mod.apply(zeroed, x), x, atol=1e-6)
+    np.testing.assert_allclose(mod.apply(zeroed, x), jnp.maximum(x, 0.0), atol=1e-6)
 
 
 def test_joint_embed_score_shape(rng):
