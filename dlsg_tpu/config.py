@@ -111,7 +111,11 @@ class DLSGConfig:
     # - kept as an option, off by default.
     joint_region_projection: bool = False
     # fused vocab-head kernel at decode (projection + top-k + logsumexp in one
-    # VMEM pass, ops/pallas/vocab_head.py): 'auto' = on when running on TPU
+    # VMEM pass, ops/pallas/vocab_head.py). 'auto' resolves to OFF: the kernel
+    # measured SLOWER than XLA's fused chain on a v5e (BENCHMARKS.md "Fused
+    # vocab head"). 'on' forces it, single-device only (a Mosaic custom call
+    # cannot be sharded by the partitioner; requesting 'on' under a mesh warns
+    # and falls back to off).
     use_fused_vocab_head: str = "auto"  # 'auto' | 'on' | 'off'
     # surface decoder attention at eval and dump heatmaps (run_gun.py:455-465)
     plot_attention: bool = True
@@ -130,7 +134,14 @@ class DLSGConfig:
     decode_grouped_topk: bool = False
     # int8 weight-only quantized INFERENCE matmuls in the decode step
     # (ops/quant.py); training always runs bf16/fp32
-    decode_quant: str = "none"  # 'none' | 'int8' 
+    decode_quant: str = "none"  # 'none' | 'int8'
+    # per-sequence early-exit decode: pass 1 beam-decodes everyone for t1
+    # steps, then only sequences whose beams have not all emitted <end> are
+    # re-decoded at full max_words in `bucket`-sized chunks (exact — see
+    # evaluation/evaluate.py::_make_two_pass_fn). 0 = off. Wins when captions
+    # end early (real data: mean ~8 of 26 steps); single-device eval only.
+    decode_two_pass_t1: int = 0
+    decode_two_pass_bucket: int = 0  # 0 -> batch//4
     mesh_data_axis: int = -1  # -1 = use all devices for data parallelism
     mesh_model_axis: int = 1
     log_every: int = 10  # run_gun.py:236 prints every 10 steps

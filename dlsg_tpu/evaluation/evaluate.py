@@ -39,9 +39,16 @@ def _use_fused_head(cfg: DLSGConfig, mesh) -> bool:
     'on' forces it (single-device only: under a mesh the decode is sharded by
     XLA's partitioner, which cannot split a Mosaic custom call)."""
     mode = getattr(cfg, "use_fused_vocab_head", "auto")
-    if mode != "on" or mesh is not None:
+    if mode == "on" and mesh is not None:
+        import warnings
+
+        warnings.warn(
+            "use_fused_vocab_head='on' is single-device only (a Mosaic custom "
+            "call cannot be sharded); falling back to the XLA vocab head.",
+            stacklevel=3,
+        )
         return False
-    return True
+    return mode == "on"
 
 
 def make_decode_fn(
@@ -78,11 +85,34 @@ def make_decode_fn(
 
         return _jit_decode(decode_greedy, mesh)
 
-    fused = _use_fused_head(cfg, mesh)
-    interpret = jax.default_backend() != "tpu"  # exercise the kernel on CPU tests
+    beam_feats = _make_beam_from_feats(model, cfg, beam, mesh)
+
+    t1 = getattr(cfg, "decode_two_pass_t1", 0)
+    if 0 < t1 < cfg.max_words and mesh is None:
+        return _make_two_pass_fn(model, cfg, beam, return_alpha, beam_feats, t1)
 
     def decode_beam(variables, frames, regions):
         obj, mot = model.apply(variables, frames, regions, method=model.encode)
+        preds, log_probs, alphas, _ = beam_feats(variables, obj, mot, cfg.max_words)
+        # top beam == argmax log-prob (beam output is sorted)
+        if return_alpha:
+            return preds[:, 0, :], alphas[:, 0]
+        return preds[:, 0, :]
+
+    return _jit_decode(decode_beam, mesh)
+
+
+def _make_beam_from_feats(model, cfg: DLSGConfig, beam: int, mesh=None) -> Callable:
+    """Build the proposals -> beam-decode core, parameterized by max_steps.
+
+    Returns fn(variables, obj, mot, max_steps) -> (preds [B, beam, max_steps],
+    log_probs [B, beam], alphas [B, beam, max_steps, 2P], finished [B]).
+    NOT jitted — callers jit their composition (max_steps must be static).
+    """
+    fused = _use_fused_head(cfg, mesh)
+    interpret = jax.default_backend() != "tpu"  # exercise the kernel on CPU tests
+
+    def beam_from_feats(variables, obj, mot, max_steps: int):
         state, pre = model.apply(
             variables, obj, mot, method=model.decoder_init_beam_state
         )
@@ -116,24 +146,99 @@ def make_decode_fn(
                 )
 
         start = jnp.full((B,), START_ID, jnp.int32)
-        preds, log_probs, alphas = beam_search(
+        return beam_search(
             start,
             state,
             step_fn,
             end_id=END_ID,
-            max_steps=cfg.max_words,
+            max_steps=max_steps,
             beam_size=beam,
             normalize=True,  # beam_step returns raw logits
             sparse_step=fused,
             fast_lse=getattr(cfg, "decode_fast_lse", True),
             grouped_topk=getattr(cfg, "decode_grouped_topk", False),
+            return_finished=True,
         )
-        # top beam == argmax log-prob (beam output is sorted)
-        if return_alpha:
-            return preds[:, 0, :], alphas[:, 0]
-        return preds[:, 0, :]
 
-    return _jit_decode(decode_beam, mesh)
+    return beam_from_feats
+
+
+def _make_two_pass_fn(
+    model, cfg: DLSGConfig, beam: int, return_alpha: bool, beam_feats: Callable, t1: int
+) -> Callable:
+    """Per-sequence early-exit decode — ONE jit, all on device.
+
+    The batch-wide `all ended` skip inside the beam scan is all-or-nothing: one
+    26-token straggler in a B=128 batch keeps every step alive, so at the
+    real-data mean caption length (~8 of 26 steps) most decode compute is spent
+    re-forcing <end> on finished sequences (the reference has the same
+    per-batch break, allennlp_beamsearch.py:168-169). Instead:
+
+      pass 1: encode + beam-decode EVERYONE for t1 steps;
+      pass 2: only sequences whose beams have not all emitted <end> (their
+        result could still change) are re-decoded at full max_words. The
+        unfinished rows are COMPACTED on device (stable argsort of the
+        finished mask) into a fixed `bucket`-sized group and scattered back —
+        no host round-trip, so the whole decode stays one XLA program (a
+        host-driven gather loop would pay one relay/dispatch sync per chunk).
+
+    Exact by construction: a sequence whose beams all ended within t1 steps
+    can never change with more steps (forced-end emits <end> with log-prob 0),
+    and stragglers get the full-length decode from scratch. Exactness is
+    asserted against the single-pass decode in tests/test_two_pass.py.
+
+    Worst-case guard: when more than `bucket` sequences are unfinished (e.g.
+    random weights emitting max-length babble), a `lax.cond` branch re-decodes
+    the FULL batch instead, bounding the overhead at pass1's t1/max_words.
+    """
+    T = cfg.max_words
+
+    def decode(variables, frames, regions):
+        B = frames.shape[0]
+        bucket = max(1, min(B, getattr(cfg, "decode_two_pass_bucket", 0) or B // 4))
+        obj, mot = model.apply(variables, frames, regions, method=model.encode)
+
+        preds1, _, alphas1, fin = beam_feats(variables, obj, mot, t1)
+        ids1 = preds1[:, 0, :]  # [B, t1]
+        al1 = alphas1[:, 0]  # [B, t1, 2P]
+        ids1 = jnp.concatenate(
+            [ids1, jnp.full((B, T - t1), END_ID, ids1.dtype)], axis=1
+        )
+        al1 = jnp.concatenate(
+            [al1, jnp.zeros((B, T - t1) + al1.shape[2:], al1.dtype)], axis=1
+        )
+        unfin = ~fin
+        # stable sort: unfinished rows first, original order preserved
+        order = jnp.argsort(jnp.where(unfin, 0, 1), stable=True)
+        idx = order[:bucket]
+
+        def small(_):
+            ids2, al2 = _pass2(obj[idx], mot[idx])
+            mask = unfin[idx]
+            new_ids = jnp.where(mask[:, None], ids2, ids1[idx])
+            new_al = jnp.where(mask[:, None, None], al2, al1[idx])
+            return ids1.at[idx].set(new_ids), al1.at[idx].set(new_al)
+
+        def big(_):
+            ids2, al2 = _pass2(obj, mot)
+            return (
+                jnp.where(unfin[:, None], ids2, ids1),
+                jnp.where(unfin[:, None, None], al2, al1),
+            )
+
+        def _pass2(o, m):
+            preds2, _, alphas2, _ = beam_feats(variables, o, m, T)
+            return preds2[:, 0, :], alphas2[:, 0]
+
+        if bucket >= B:
+            ids, al = big(None)
+        else:
+            ids, al = jax.lax.cond(jnp.sum(unfin) <= bucket, small, big, None)
+        if return_alpha:
+            return ids, al
+        return ids
+
+    return jax.jit(decode)
 
 
 def _jit_decode(decode, mesh) -> Callable:
@@ -166,6 +271,37 @@ def _jit_decode(decode, mesh) -> Callable:
     return jax.jit(wrapper)
 
 
+def _gather_across_hosts(ids, vids, alphas):
+    """Cross-host eval fan-in: every process contributes its shard's decoded
+    token ids, and every process ends up with the full set.
+
+    The reference does this with `dist.all_gather_object` of python dicts and
+    a HARD-CODED world size 4 (run_gun.py:270-276); here the payloads are
+    fixed-shape arrays (padded to the max per-host count, marked with vid=-1)
+    gathered with `multihost_utils.process_allgather` at any process count.
+    """
+    from jax.experimental import multihost_utils as mhu
+
+    counts = mhu.process_allgather(np.array([ids.shape[0]]))
+    n_max = int(np.max(counts))
+
+    def pad(a, fill):
+        out = np.full((n_max,) + a.shape[1:], fill, a.dtype)
+        out[: a.shape[0]] = a
+        return out
+
+    ids_g = mhu.process_allgather(pad(ids, 0))  # [P, n_max, T]
+    vids_g = mhu.process_allgather(pad(vids, -1))  # [P, n_max]
+    keep = vids_g.reshape(-1) >= 0
+    ids_all = ids_g.reshape(-1, ids.shape[1])[keep]
+    vids_all = vids_g.reshape(-1)[keep]
+    alpha_all = None
+    if alphas is not None:
+        al_g = mhu.process_allgather(pad(alphas, 0.0))
+        alpha_all = al_g.reshape((-1,) + alphas.shape[1:])[keep]
+    return ids_all, vids_all, alpha_all
+
+
 def evaluate(
     decode_fn: Callable,
     variables,
@@ -173,6 +309,7 @@ def evaluate(
     vocab: Vocabulary,
     reference: Dict,
     scorer: Optional[COCOScorer] = None,
+    cross_host_gather: bool = False,
 ) -> Tuple[Dict[str, float], "OrderedDict[str, str]", Optional[np.ndarray], float]:
     """Decode the full eval set and score it (evaluate.py:56-98).
 
@@ -180,9 +317,13 @@ def evaluate(
     quadruple as the reference's evaluate (its `alpha_all` at evaluate.py:98).
     alpha_all is a [N, T, 2P] array of the emitted captions' attention weights
     when decode_fn was built with return_alpha=True, else None.
+
+    Multi-host: pass per-process sharded `eval_iter` batches
+    (data/loader.py eval_batches shard_index/num_shards) and
+    `cross_host_gather=True`; every process then scores the merged full set
+    (identical results everywhere — no broadcast needed).
     """
-    result: "OrderedDict[str, str]" = OrderedDict()
-    alpha_chunks = []
+    ids_chunks, vid_chunks, alpha_chunks = [], [], []
     start = time.time()
     for batch in eval_iter:
         out = decode_fn(variables, jnp.asarray(batch["frames"]), jnp.asarray(batch["regions"]))
@@ -192,15 +333,24 @@ def evaluate(
         else:
             ids, alphas = out, None
         ids = np.asarray(ids)
-        valid = batch.get("valid", np.ones(ids.shape[0], bool))
-        for ok, vid, toks in zip(valid, batch["video_ids"], ids):
-            if ok:
-                result[str(int(vid))] = vocab.decode_tokens(toks)
+        valid = np.asarray(batch.get("valid", np.ones(ids.shape[0], bool)))
+        vids = np.asarray([int(v) for v in batch["video_ids"]])
+        ids_chunks.append(ids[valid])
+        vid_chunks.append(vids[valid])
         if alphas is not None:
-            alpha_chunks.append(alphas[np.asarray(valid)])
-    infer_time = time.time() - start
+            alpha_chunks.append(alphas[valid])
+    ids_all = np.concatenate(ids_chunks, axis=0)
+    vids_all = np.concatenate(vid_chunks, axis=0)
     alpha_all = np.concatenate(alpha_chunks, axis=0) if alpha_chunks else None
+    if cross_host_gather and jax.process_count() > 1:
+        ids_all, vids_all, alpha_all = _gather_across_hosts(
+            ids_all, vids_all, alpha_all
+        )
+    infer_time = time.time() - start
 
+    result: "OrderedDict[str, str]" = OrderedDict(
+        (str(int(v)), vocab.decode_tokens(t)) for v, t in zip(vids_all, ids_all)
+    )
     pred_json = {k: [{"video_id": k, "caption": v}] for k, v in result.items()}
     scorer = scorer or COCOScorer()
     refs = {str(k): v for k, v in reference.items()}

@@ -76,6 +76,7 @@ def beam_search(
     sparse_step: bool = False,
     fast_lse: bool = False,
     grouped_topk: bool = False,
+    return_finished: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run beam search.
 
@@ -105,19 +106,24 @@ def beam_search(
     Returns:
       predictions [B, beam, max_steps] (sorted by log-prob, best first),
       log_probs   [B, beam],
-      and, when step_fn emits aux, aux [B, beam, max_steps, ...].
+      when step_fn emits aux, aux [B, beam, max_steps, ...],
+      and, with `return_finished`, finished [B] bool — True iff ALL of the
+      sequence's beams have emitted <end> (its result can no longer change
+      with more steps; the two-pass early-exit decode keys off this).
     """
     pnbs = per_node_beam_size or beam_size
     B = start_tokens.shape[0]
 
-    def _lse(lp):
-        """Row logsumexp over the raw logits. `fast_lse` skips the max-shift
-        pass: one read instead of two. Exact whenever max(logits) < 80 — true
-        by construction for tanh(LN(h)) @ xavier-W vocab heads; the clip only
-        guards pathological weights (measured: 6.72 -> 5.59 ms per 26 beam
-        steps at G=640 on a v5e)."""
+    def _lse(lp, rowmax):
+        """Row logsumexp over the raw logits. `fast_lse` skips the separate
+        max-reduction pass over [G, V] (measured: 6.72 -> 5.59 ms per 26 beam
+        steps at G=640 on a v5e) by shifting with `rowmax` — the top-1 value
+        the caller's top_k already produced — so it stays numerically exact
+        for ANY weights (e.g. mis-scaled converted or int8 checkpoints),
+        unlike a clipped unshifted sumexp which under/overflows outside
+        (-88, +88)."""
         if fast_lse:
-            return jnp.log(jnp.sum(jnp.exp(jnp.minimum(lp, 80.0)), axis=-1))
+            return rowmax + jnp.log(jnp.sum(jnp.exp(lp - rowmax[:, None]), axis=-1))
         return jax.nn.logsumexp(lp, axis=-1)
 
     def _topk(lp, kk):
@@ -142,7 +148,7 @@ def beam_search(
         V = log_probs0.shape[-1]
         start_top_lp, start_ids = _topk(log_probs0, beam_size)  # [B, beam]
         if normalize:
-            start_top_lp = start_top_lp - _lse(log_probs0)[:, None]
+            start_top_lp = start_top_lp - _lse(log_probs0, start_top_lp[:, 0])[:, None]
         # one-hot row forcing <end> after a finished beam
         # (allennlp_beamsearch.py:147-150)
         after_end_row = jnp.full((V,), -jnp.inf).at[end_id].set(0.0)
@@ -168,7 +174,7 @@ def beam_search(
             # aux is indexed by PARENT beam row (the row that was expanded)
             aux = out[2].reshape(B, beam_size, *out[2].shape[1:]) if has_aux else ()
             vals, top_ids = _topk(lp, pnbs)  # [B*beam, pnbs]
-            vals = vals - _lse(lp)[:, None]
+            vals = vals - _lse(lp, vals[:, 0])[:, None]
             top_lp = jnp.where(ended, forced_vals[None, :], vals)
             top_ids = jnp.where(ended, forced_ids[None, :], top_ids)
         else:
@@ -220,7 +226,7 @@ def beam_search(
 
         return jax.lax.cond(all_ended, skip, step_math, carry)
 
-    (final_preds, final_lp, _), (preds_seq, backptr_seq, aux_seq) = jax.lax.scan(
+    (final_preds, final_lp, _final_state), (preds_seq, backptr_seq, aux_seq) = jax.lax.scan(
         scan_body,
         (start_ids, last_log_probs, state),
         None,
@@ -257,7 +263,11 @@ def beam_search(
         [first_tokens[None], tail_tokens], axis=0
     )  # [max_steps, B, beam]
     predictions = jnp.transpose(all_tokens, (1, 2, 0))  # [B, beam, max_steps]
+    # a beam is ended iff its latest token is <end> (forced-end keeps it there)
+    finished = jnp.all(final_preds == end_id, axis=1)
     if not has_aux:
+        if return_finished:
+            return predictions, final_lp, finished
         return predictions, final_lp
     # step-0 aux is shared by every beam of a group (pre-expansion step)
     first_aux = jnp.broadcast_to(
@@ -266,4 +276,6 @@ def beam_search(
     all_aux = jnp.concatenate([first_aux[None], tail_aux], axis=0)
     # [max_steps, B, beam, ...] -> [B, beam, max_steps, ...]
     aux_out = jnp.moveaxis(all_aux, 0, 2)
+    if return_finished:
+        return predictions, final_lp, aux_out, finished
     return predictions, final_lp, aux_out

@@ -61,11 +61,26 @@ class Captioner:
     def from_params(cls, cfg: DLSGConfig, vocab: Vocabulary, params) -> "Captioner":
         return cls(cfg, vocab, params)
 
+    # smallest compiled batch; buckets double from here up to test_batch_size
+    MIN_BUCKET = 8
+
+    def _bucket_size(self, n: int) -> int:
+        """Smallest power-of-two bucket >= n (capped at the full batch size).
+
+        Arbitrary request sizes land on a BOUNDED set of compiled shapes
+        (8, 16, 32, ... B) instead of one compile per distinct N; small
+        requests pay small-bucket latency instead of the full-batch decode.
+        """
+        b = self.MIN_BUCKET
+        while b < min(n, self._batch):
+            b *= 2
+        return min(b, self._batch)
+
     def caption(self, frames, regions, greedy: bool = False) -> List[str]:
         """Caption a batch of feature clips.
 
         frames: [N, max_frames, 2560]; regions: [N, max_frames, >=num_obj, 2048].
-        Any N — internally padded to the compiled batch size. Returns N strings.
+        Any N — internally padded to a power-of-two bucket. Returns N strings.
         """
         cfg = self.cfg
         frames = np.asarray(frames, np.float32)
@@ -78,9 +93,10 @@ class Captioner:
             fr = frames[s : s + B]
             rg = regions[s : s + B]
             n = fr.shape[0]
-            if n < B:  # pad to the compiled static batch
-                fr = np.concatenate([fr, np.repeat(fr[-1:], B - n, 0)], 0)
-                rg = np.concatenate([rg, np.repeat(rg[-1:], B - n, 0)], 0)
+            b = self._bucket_size(n)
+            if n < b:  # pad to the bucket's static shape
+                fr = np.concatenate([fr, np.repeat(fr[-1:], b - n, 0)], 0)
+                rg = np.concatenate([rg, np.repeat(rg[-1:], b - n, 0)], 0)
             ids = np.asarray(fn(self.variables, jnp.asarray(fr), jnp.asarray(rg)))
             out.extend(self.vocab.decode_tokens(t) for t in ids[:n])
         return out

@@ -34,6 +34,33 @@ def test_caption_batch(captioner):
     assert all(isinstance(s, str) for s in sents)
 
 
+def test_bucketed_shapes_do_not_grow_compile_cache():
+    """Arbitrary request sizes pad to power-of-two buckets: captioning 3, 5,
+    then 7 videos through a B=16 captioner all land on ONE compiled shape
+    (bucket 8), and per-row results are identical to full-batch captioning
+    (decode is row-independent; padding rows cannot leak)."""
+    cfg = tiny_test_config(test_batch_size=16, beam_size=2)
+    vocab = make_vocab()
+    model = CapGnnModel(cfg, len(vocab))
+    frames0 = jnp.zeros((2, cfg.max_frames, cfg.feature_size))
+    regions0 = jnp.zeros((2, cfg.max_frames, cfg.num_obj, cfg.region_feature_size))
+    caps0 = jnp.zeros((2, cfg.max_words), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), frames0, regions0, caps0)["params"]
+    cap = Captioner.from_params(cfg, vocab, params)
+
+    assert [cap._bucket_size(n) for n in (1, 3, 8, 9, 16, 99)] == [8, 8, 8, 16, 16, 16]
+
+    rng = np.random.default_rng(2)
+    frames = rng.normal(size=(7, cfg.max_frames, cfg.feature_size))
+    regions = rng.normal(size=(7, cfg.max_frames, cfg.num_obj, cfg.region_feature_size))
+    all7 = cap.caption(frames, regions)
+    assert len(all7) == 7
+    assert cap.caption(frames[:3], regions[:3]) == all7[:3]
+    assert cap.caption(frames[:5], regions[:5]) == all7[:5]
+    # every request size <= 8 hit the same compiled bucket: one beam compile
+    assert cap._beam_fn._cache_size() == 1
+
+
 def test_caption_ragged_and_multi_batch(captioner):
     cap, cfg, vocab = captioner
     rng = np.random.default_rng(1)
