@@ -82,6 +82,10 @@ def main(argv=None):
     vocab, train_ds, eval_ds, reference = _build_datasets(
         cfg, extra_ns.synthetic, extra_ns.synthetic_videos
     )
+    # multi-host: each process loads a disjoint per-host data shard; the
+    # jitted steps consume the globally-assembled batch (parallel/mesh.py
+    # globalize_batch / data/prefetch.py). Single process: (1, 0) no-op.
+    shards = dict(num_shards=jax.process_count(), shard_index=jax.process_index())
 
     if command == "train":
         from dlsg_tpu.train.trainer import RunGAN
@@ -90,7 +94,7 @@ def main(argv=None):
             cfg, vocab, train_ds, eval_ds, reference,
             mesh=mesh, is_debug=not extra_ns.no_debug, resume_epoch=extra_ns.resume_epoch,
         )
-        runner.train()
+        runner.train(**shards)
         return 0
 
     if command == "train-base":
@@ -100,7 +104,7 @@ def main(argv=None):
             cfg, vocab, train_ds, eval_ds, reference,
             mesh=mesh, is_debug=not extra_ns.no_debug,
         )
-        runner.train()
+        runner.train(**shards)
         return 0
 
     if command == "train-legacy":
@@ -110,7 +114,7 @@ def main(argv=None):
             cfg, vocab, train_ds, eval_ds, reference,
             mesh=mesh, is_debug=not extra_ns.no_debug,
         )
-        runner.train()
+        runner.train(**shards)
         return 0
 
     if command == "evaluate":
@@ -147,13 +151,20 @@ def main(argv=None):
             ]["params"]
         elif extra_ns.metric:
             params = ckpt.restore_model(cfg.checkpoint_dir, extra_ns.metric, params)
-        decode_fn = make_decode_fn(model, cfg, mesh=mesh)
+        if mesh is not None and jax.process_count() > 1:
+            from dlsg_tpu.parallel.mesh import make_mesh as _mm
+
+            eval_mesh = _mm(devices=jax.local_devices())
+        else:
+            eval_mesh = mesh
+        decode_fn = make_decode_fn(model, cfg, mesh=eval_mesh)
         scores, result, _, t = evaluate(
             decode_fn,
             {"params": params},
-            eval_batches(eval_ds, cfg.test_batch_size),
+            eval_batches(eval_ds, cfg.test_batch_size, **shards),
             vocab,
             reference,
+            cross_host_gather=jax.process_count() > 1,
         )
         for k, v in scores.items():
             print(f"{k}: {100 * v:.6f}")

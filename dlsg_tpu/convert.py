@@ -277,16 +277,38 @@ def convert_discv2_state_dict(sd: Mapping, cfg: DLSGConfig) -> Dict:
     return {"params": params}
 
 
-def load_reference_checkpoint(path: str, cfg: DLSGConfig) -> Dict:
+def load_reference_checkpoint(path: str, cfg: DLSGConfig, trusted: bool = False) -> Dict:
     """Load an epoch checkpoint saved by the reference trainer
     (run_gun.py:302-310) and convert both models.
+
+    Loads with `weights_only=True` by default — a reference-trained `.pt` is an
+    untrusted external artifact and full unpickling executes arbitrary code.
+    The numpy globals the reference's `cap_list` payload needs are explicitly
+    allowlisted. Pass `trusted=True` only for checkpoints you produced yourself
+    whose pickle stream uses types outside that allowlist.
 
     Returns {'generator': variables, 'discriminator': variables,
              'cap_list': ndarray | None, 'epoch': int | None}.
     """
     import torch  # cpu build is available in this image
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if trusted:
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    else:
+        allow = [np.ndarray, np.dtype]
+        for mod in (getattr(np, "core", None),):
+            ma = getattr(mod, "multiarray", None) if mod else None
+            if ma is not None:
+                allow += [ma._reconstruct, ma.scalar]
+        dtypes_mod = getattr(np, "dtypes", None)
+        if dtypes_mod is not None:
+            allow += [
+                getattr(dtypes_mod, n)
+                for n in dir(dtypes_mod)
+                if n.endswith("DType")
+            ]
+        with torch.serialization.safe_globals(allow):
+            ckpt = torch.load(path, map_location="cpu", weights_only=True)
     out = {
         "generator": convert_capgnn_state_dict(ckpt["model_state_dict"], cfg),
         # the discriminator is absent from CE-only checkpoints (train.py path)

@@ -27,8 +27,23 @@ def prefetch_to_device(
     buffer_size: int = 2,
     keys=("frames", "regions", "captions", "lengths"),
 ) -> Iterator[dict]:
-    """Wrap a host batch iterator; yields device-resident batches one step ahead."""
+    """Wrap a host batch iterator; yields device-resident batches one step ahead.
+
+    Multi-host: each process's local batch is stitched into a GLOBAL
+    data-sharded jax.Array (`make_array_from_process_local_data`) — the SPMD
+    replacement for DistributedSampler + DDP input handling (utils/data.py:121).
+    """
     sharding = batch_sharding(mesh) if mesh is not None else None
+    multihost = jax.process_count() > 1
+
+    def _stage(v):
+        if sharding is None:
+            return jax.device_put(v)
+        if multihost:
+            import numpy as np
+
+            return jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        return jax.device_put(v, sharding)
 
     q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
 
@@ -36,13 +51,7 @@ def prefetch_to_device(
         try:
             for batch in batch_iter:
                 staged = {
-                    k: (
-                        jax.device_put(v, sharding)
-                        if sharding is not None
-                        else jax.device_put(v)
-                    )
-                    for k, v in batch.items()
-                    if k in keys
+                    k: _stage(v) for k, v in batch.items() if k in keys
                 }
                 # keep host-only fields (video ids, valid masks) unstaged
                 for k, v in batch.items():

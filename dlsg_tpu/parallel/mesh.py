@@ -54,6 +54,26 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 
+def globalize_batch(batch: dict, mesh: Mesh) -> dict:
+    """Assemble each host's local batch into one GLOBAL data-sharded array.
+
+    Multi-host SPMD (replacing the reference's DistributedSampler + DDP,
+    utils/data.py:121-122): every process loads a disjoint per-host slice
+    (data/loader.py shard_index/num_shards) and
+    `jax.make_array_from_process_local_data` stitches the slices into a global
+    jax.Array of shape [local_B * process_count, ...] laid out over the mesh's
+    data axis, which jitted steps then consume. Single-process: a no-op (the
+    jit wrapper's with_sharding_constraint already places the numpy batch).
+    """
+    if jax.process_count() == 1:
+        return batch
+    sh = batch_sharding(mesh)
+    return {
+        k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+        for k, v in batch.items()
+    }
+
+
 # Tensor-parallel rules: param-path substring -> PartitionSpec. The vocab
 # projection (decoder word_restore) is by far the largest matrix
 # (decode_hidden x |V|); column-sharding it over `model` splits both the

@@ -27,10 +27,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dlsg_tpu.config import DLSGConfig
 from dlsg_tpu.ops.losses import (
+    gradient_penalty,
     masked_cross_entropy,
     to_onehot,
-    wgan_d_loss,
-    wgan_d_loss_fused,
     wgan_g_loss,
 )
 from dlsg_tpu.parallel.mesh import DATA_AXIS
@@ -160,8 +159,6 @@ def make_gan_train_step(gen_model, disc_model, cfg: DLSGConfig, mesh: Optional[M
                         groups=2,
                         rngs={"dropout": k_drop},
                     )
-
-                from dlsg_tpu.ops.losses import gradient_penalty
 
                 scores = d_fn2(jnp.concatenate([r_caption, f_caption], axis=0))
                 r_loss = jnp.mean(scores[:B])

@@ -62,9 +62,36 @@ class _TrainerBase:
         self.test_reference = test_reference
         self.mesh = mesh
         self.is_leader = jax.process_index() == 0
+        self.num_hosts = jax.process_count()
+        if mesh is not None:
+            from dlsg_tpu.parallel.mesh import DATA_AXIS
+
+            n_data = mesh.shape[DATA_AXIS]
+            for name, b in (
+                ("train_batch_size", cfg.train_batch_size),
+                ("test_batch_size", cfg.test_batch_size),
+            ):
+                if (b * self.num_hosts) % n_data:
+                    raise ValueError(
+                        f"{name}={b} x {self.num_hosts} host(s) must be divisible "
+                        f"by the mesh data axis ({n_data} devices) — pick a "
+                        f"divisible batch or a smaller mesh (make_mesh(n_data=...))"
+                    )
+        # eval decode is embarrassingly batch-parallel: in a multi-host run
+        # each process decodes its OWN disjoint shard on its LOCAL devices
+        # (no cross-host collectives), then results fan in via
+        # evaluate(cross_host_gather=True) — replacing the reference's
+        # all_gather_object with hard-coded world size 4 (run_gun.py:270-276)
+        if mesh is not None and self.num_hosts > 1:
+            from dlsg_tpu.parallel.mesh import make_mesh
+
+            self.eval_mesh = make_mesh(devices=jax.local_devices())
+        else:
+            self.eval_mesh = mesh
         self.base_name = cfg.base_name()
         self.rng = jax.random.key(cfg.seed, impl=cfg.rng_impl)
         self.stopwatch = Stopwatch()
+        self._trace_active = False
         self.last_epoch = -1
         self.resume_epoch = resume_epoch
 
@@ -148,9 +175,19 @@ class _TrainerBase:
     def _run_eval_inner(self, variables, epoch: int, global_step: int):
         cfg = self.cfg
         t0 = time.time()
-        eval_iter = eval_batches(self.eval_dataset, cfg.test_batch_size)
+        eval_iter = eval_batches(
+            self.eval_dataset,
+            cfg.test_batch_size,
+            shard_index=jax.process_index(),
+            num_shards=self.num_hosts,
+        )
         scores, results, alpha_all, infer_time = evaluate(
-            self.decode_fn, variables, eval_iter, self.vocab, self.test_reference
+            self.decode_fn,
+            variables,
+            eval_iter,
+            self.vocab,
+            self.test_reference,
+            cross_host_gather=self.num_hosts > 1,
         )
         self._print(f"evaluate time: {time.time() - t0:.3f}s (inference {infer_time:.3f}s)")
         if alpha_all is not None and self.is_leader:
@@ -216,7 +253,7 @@ class RunGAN(_TrainerBase):
         # eval decode is sharded over the mesh data axis (the reference's
         # 4-GPU eval fan-out, run_gun.py:269-281)
         self.decode_fn = make_decode_fn(
-            self.gen_model, cfg, return_alpha=cfg.plot_attention, mesh=self.mesh
+            self.gen_model, cfg, return_alpha=cfg.plot_attention, mesh=self.eval_mesh
         )
 
         # device-side adaptive lambda state (exact run_gun.py:210-231 ordering)
@@ -268,12 +305,14 @@ class RunGAN(_TrainerBase):
                     k: batch[k] for k in ("frames", "regions", "captions", "lengths")
                 }
 
-                # device trace of steps 3..5 of the first epoch (profiler.md)
-                tracing = (
-                    cfg.profile_dir and epoch == self.last_epoch + 1 and i == 3
-                )
-                if tracing:
+                # device trace of steps 3..5 of the first epoch, leader only
+                # (multi-host runs must not race into one profile_dir)
+                if (
+                    cfg.profile_dir and self.is_leader and not self._trace_active
+                    and epoch == self.last_epoch + 1 and i == 3
+                ):
                     jax.profiler.start_trace(cfg.profile_dir)
+                    self._trace_active = True
                 with self.stopwatch.span("train_step"):
                     if self.use_visual_gan:
                         self.gen_state, self.disc_state, self.lambda_state, metrics = self.gan_step(
@@ -289,8 +328,9 @@ class RunGAN(_TrainerBase):
                             self.gen_state, step_batch, step_rng, jnp.float32(epsilon)
                         )
                     cap_loss = float(metrics["cap_loss"])  # host sync ends the span
-                if cfg.profile_dir and epoch == self.last_epoch + 1 and i == 5:
+                if self._trace_active and i >= 5:
                     jax.profiler.stop_trace()
+                    self._trace_active = False
                 if self.use_visual_gan:
                     gan_lambda = float(metrics["gan_lambda"])
                     loss_count_g += float(metrics["loss_G"])
@@ -334,6 +374,9 @@ class RunGAN(_TrainerBase):
                             lambda_state=self.lambda_state,
                         )
 
+            if self._trace_active:  # epoch had <5 batches; don't leak the trace
+                jax.profiler.stop_trace()
+                self._trace_active = False
             self.result_handler.print_results()
             self._print(f"*******One epoch time: {time.time() - start_time:.3f}s*******")
             self._print(self.stopwatch.report() + "\n")
@@ -355,7 +398,11 @@ class Run(_TrainerBase):
             self._maybe_graft_glove(g_vars["params"]), self._gen_optimizer()
         )
         self.ce_step = make_ce_train_step(self.gen_model, cfg, self.mesh)
-        self.decode_fn = make_decode_fn(self.gen_model, cfg, beam_size=1, mesh=self.mesh)
+        # the reference's baseline trainer scores through the same beam-sized
+        # evaluate() as the GAN trainer (run_graph.py:183, beam from opt.py:22)
+        self.decode_fn = make_decode_fn(
+            self.gen_model, cfg, beam_size=cfg.beam_size, mesh=self.eval_mesh
+        )
 
     def train(self, num_shards: int = 1, shard_index: int = 0) -> ResultHandler:
         cfg = self.cfg
@@ -438,10 +485,18 @@ class RunLegacy(_TrainerBase):
 
         self.ce_step = jax.jit(step, donate_argnums=0)
 
-        def decode(variables, frames, regions):
-            out = model.apply(variables, frames, None)
-            return out
+        if cfg.beam_size > 1:
+            # reference legacy eval beam-decodes too (evaluate.py:70-72 ->
+            # Decoder beam path, beam size from opt.py:22)
+            self.decode_fn = make_decode_fn(
+                model, cfg, beam_size=cfg.beam_size, mesh=self.eval_mesh
+            )
+        else:
 
-        self.decode_fn = jax.jit(decode)
+            def decode(variables, frames, regions):
+                out = model.apply(variables, frames, None)
+                return out
+
+            self.decode_fn = jax.jit(decode)
 
     train = Run.train

@@ -1,0 +1,100 @@
+"""Worker process for tests/test_multihost.py.
+
+Joins a 2-process jax.distributed CPU cluster (2 virtual devices per process ->
+4 global devices), trains `CapBaseline1` for a few CE steps over its OWN data
+shard with the SAME multi-host plumbing the trainers use
+(`train_batches(shard_index=...)` -> `globalize_batch` -> jitted step over the
+global mesh), then writes the final parameters so the parent can assert they
+(a) are identical across both processes and (b) match a single-process run
+over the reassembled global batches.
+
+Also exercises the eval fan-in (`_gather_across_hosts`).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def main() -> None:
+    proc_id, nprocs, port, out = (
+        int(sys.argv[1]),
+        int(sys.argv[2]),
+        sys.argv[3],
+        sys.argv[4],
+    )
+    import jax
+
+    jax.distributed.initialize(
+        f"127.0.0.1:{port}", num_processes=nprocs, process_id=proc_id
+    )
+    assert jax.process_count() == nprocs
+    assert len(jax.local_devices()) == 2 and len(jax.devices()) == 2 * nprocs
+
+    import jax.numpy as jnp
+
+    from dlsg_tpu.config import tiny_test_config
+    from dlsg_tpu.data.loader import train_batches
+    from dlsg_tpu.data.synthetic import SyntheticDataset, make_vocab
+    from dlsg_tpu.models.generator import CapBaseline1
+    from dlsg_tpu.parallel.mesh import globalize_batch, make_mesh
+    from dlsg_tpu.train.optim import TrainState, make_optimizer
+    from dlsg_tpu.train.steps import make_ce_train_step
+
+    # dropout=0 so the comparison is free of partitioned-RNG layout effects
+    cfg = tiny_test_config(dropout=0.0, rng_impl="threefry2x32", train_batch_size=2)
+    vocab = make_vocab()
+    ds = SyntheticDataset(cfg, vocab, num_videos=16)
+    mesh = make_mesh()  # all 4 global devices on the data axis
+
+    model = CapBaseline1(cfg, len(vocab))
+    s0 = ds[0]
+    params = model.init(
+        jax.random.PRNGKey(0),
+        s0["frames"][None],
+        s0["regions"][None, :, : cfg.num_obj],
+        s0["captions"][None, : cfg.max_words],
+    )["params"]
+    state = TrainState.create(params, make_optimizer(cfg.learning_rate))
+    step = make_ce_train_step(model, cfg, mesh)
+    rng = jax.random.key(cfg.seed, impl="threefry2x32")
+
+    losses = []
+    for batch in train_batches(
+        ds, cfg.train_batch_size, seed=cfg.seed, epoch=0,
+        shard_index=proc_id, num_shards=nprocs,
+    ):
+        local = {
+            "frames": batch["frames"],
+            "regions": batch["regions"][:, :, : cfg.num_obj],
+            "captions": batch["captions"][:, : cfg.max_words],
+            "lengths": batch["lengths"],
+        }
+        gbatch = globalize_batch(local, mesh)
+        state, metrics = step(state, gbatch, rng, jnp.float32(1.0))
+        losses.append(float(metrics["cap_loss"]))
+
+    flat = {
+        "/".join(map(str, path)): np.asarray(leaf)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(state.params)[0]
+    }
+    np.savez(out, losses=np.asarray(losses), **flat)
+
+    # eval fan-in: disjoint per-process payloads must merge identically
+    from dlsg_tpu.evaluation.evaluate import _gather_across_hosts
+
+    n = 3 + proc_id  # deliberately ragged across processes
+    ids = np.full((n, 4), proc_id, np.int32)
+    vids = np.arange(n) + 100 * proc_id
+    g_ids, g_vids, _ = _gather_across_hosts(ids, vids, None)
+    assert g_vids.shape[0] == sum(3 + p for p in range(nprocs)), g_vids
+    assert set(g_vids.tolist()) == {
+        v for p in range(nprocs) for v in (np.arange(3 + p) + 100 * p).tolist()
+    }
+    print("WORKER OK", proc_id)
+
+
+if __name__ == "__main__":
+    main()
