@@ -7,11 +7,17 @@ The jar and its ~1GB paraphrase data are NOT shipped in the reference repo
 this module implements the published METEOR 1.5 English scoring algorithm
 (Denkowski & Lavie 2014) natively:
 
-- match stages: exact > stem (Porter2/Snowball English) > synonym/paraphrase.
-  The stage-3 table defaults to a curated caption-domain synonym list shipped
-  in-repo (`metrics/data/synonyms.txt` — a compact distillation standing in for
-  the unshippable paraphrase-en.gz); `set_paraphrase_table` swaps in a custom
-  table.
+- match stages — all FOUR of METEOR 1.5's, with its English stage weights
+  (1.0, 0.6, 0.8, 0.6): exact > stem (Porter2/Snowball English) > synonym >
+  paraphrase. The synonym stage uses a curated caption-domain synonym table
+  (`metrics/data/synonyms.txt`, standing in for WordNet 3.0 synsets); the
+  paraphrase stage uses a looser word-level equivalence table
+  (`metrics/data/paraphrases.txt`, standing in for the unshippable ~1GB
+  paraphrase-en.gz). `set_synonym_table` / `set_paraphrase_table` swap in
+  custom tables. Documented deviation from the jar: paraphrase-en.gz contains
+  multi-word PHRASE pairs; this matcher only matches single words, so
+  phrase-level paraphrases ("a lot of" ~ "many") do not align — see
+  BENCHMARKS.md "METEOR fidelity" for the full deviation analysis.
 - alignment: the official Aligner's beam search over partial alignments,
   selecting by METEOR's documented objective — MAXIMIZE matched words, then
   MINIMIZE chunks, then MINIMIZE total match distance (Denkowski & Lavie 2011
@@ -19,7 +25,7 @@ this module implements the published METEOR 1.5 English scoring algorithm
 - scoring: weighted P/R with function-word discounting (delta), parameterized
   fmean (alpha), fragmentation penalty (gamma, beta) with the METEOR 1.5
   English defaults alpha=.85, beta=.2, gamma=.6, delta=.75,
-  stage weights (1.0, .6, .8).
+  stage weights (1.0, .6, .8, .6).
 - a perfect alignment (one chunk covering all of both sentences) carries zero
   fragmentation penalty, so identical sentences score 1.0 — the jar's observed
   behavior (feeding ground truth through coco-caption yields METEOR=1.0).
@@ -46,7 +52,7 @@ from dlsg_tpu.metrics.stemmer import porter2_stem
 
 # METEOR 1.5 English parameters (Denkowski & Lavie 2014, table 2)
 ALPHA, BETA, GAMMA, DELTA = 0.85, 0.2, 0.6, 0.75
-STAGE_WEIGHTS = (1.0, 0.6, 0.8)  # exact, stem, synonym/paraphrase
+STAGE_WEIGHTS = (1.0, 0.6, 0.8, 0.6)  # exact, stem, synonym, paraphrase
 BEAM_WIDTH = 40  # meteor-1.5 Aligner.java beam size
 
 # A compact English function-word list (METEOR uses a corpus-derived list).
@@ -62,16 +68,20 @@ FUNCTION_WORDS = frozenset(
 )
 
 _SYNONYMS_PATH = os.path.join(os.path.dirname(__file__), "data", "synonyms.txt")
+_PARAPHRASES_PATH = os.path.join(os.path.dirname(__file__), "data", "paraphrases.txt")
 
-_PARAPHRASE: Optional[Dict[str, frozenset]] = None  # None -> load default file
-_IS_DEFAULT_TABLE = True  # native fast path only valid with the shipped table
+_SYNONYM: Optional[Dict[str, frozenset]] = None  # None -> load default file
+_PARAPHRASE: Optional[Dict[str, frozenset]] = None
+_SYN_CUSTOM = False  # a user-installed table replaces the shipped one
+_PARA_CUSTOM = False
+_IS_DEFAULT_TABLE = True  # native fast path only valid with the shipped tables
 
 
-def _load_default_table() -> Dict[str, frozenset]:
-    """Parse the shipped synonym groups (one space-separated group per line)."""
+def _load_groups_file(path: str) -> Dict[str, frozenset]:
+    """Parse a groups file (one space-separated equivalence group per line)."""
     table: Dict[str, set] = {}
-    if os.path.exists(_SYNONYMS_PATH):
-        with open(_SYNONYMS_PATH) as f:
+    if os.path.exists(path):
+        with open(path) as f:
             for line in f:
                 words = line.split("#")[0].split()
                 if len(words) < 2:
@@ -81,43 +91,75 @@ def _load_default_table() -> Dict[str, frozenset]:
     return {k: frozenset(v) for k, v in table.items()}
 
 
+def get_synonym_table() -> Dict[str, frozenset]:
+    """Stage-2 table (weight 0.8) — WordNet-synonymy stand-in."""
+    global _SYNONYM
+    if _SYNONYM is None:
+        _SYNONYM = _load_groups_file(_SYNONYMS_PATH)
+    return _SYNONYM
+
+
 def get_paraphrase_table() -> Dict[str, frozenset]:
+    """Stage-3 table (weight 0.6) — word-level paraphrase-en.gz stand-in."""
     global _PARAPHRASE
     if _PARAPHRASE is None:
-        _PARAPHRASE = _load_default_table()
+        _PARAPHRASE = _load_groups_file(_PARAPHRASES_PATH)
     return _PARAPHRASE
 
 
+def set_synonym_table(table: Optional[Dict[str, Sequence[str]]]) -> None:
+    """Install a custom stage-2 synonym table (word -> equivalents).
+
+    Pass None to restore the shipped default; pass {} to disable stage 2.
+    """
+    global _SYNONYM, _SYN_CUSTOM, _IS_DEFAULT_TABLE
+    _SYN_CUSTOM = table is not None
+    _IS_DEFAULT_TABLE = not (_SYN_CUSTOM or _PARA_CUSTOM)
+    _SYNONYM = None if table is None else {
+        k: frozenset(v) for k, v in table.items()
+    }
+
+
 def set_paraphrase_table(table: Optional[Dict[str, Sequence[str]]]) -> None:
-    """Install a custom synonym/paraphrase table (word -> equivalents).
+    """Install a custom stage-3 paraphrase table (word -> equivalents).
 
     Pass None to restore the shipped default; pass {} to disable stage 3.
     """
-    global _PARAPHRASE, _IS_DEFAULT_TABLE
-    _IS_DEFAULT_TABLE = table is None
+    global _PARAPHRASE, _PARA_CUSTOM, _IS_DEFAULT_TABLE
+    _PARA_CUSTOM = table is not None
+    _IS_DEFAULT_TABLE = not (_SYN_CUSTOM or _PARA_CUSTOM)
     _PARAPHRASE = None if table is None else {
         k: frozenset(v) for k, v in table.items()
     }
 
 
-def _match_stage(h: str, r: str, table) -> int:
+def _table_match(h, r, hs, rs, table) -> bool:
+    """Both surface forms and stems are looked up (the tables list lemmas;
+    METEOR's WordNet stage likewise lemmatizes before synset lookup)."""
+    for a, b in ((h, r), (hs, rs)):
+        if b in table.get(a, ()) or a in table.get(b, ()):
+            return True
+    return False
+
+
+def _match_stage(h: str, r: str, syn, para) -> int:
     """Return the highest-precedence matching stage index, or -1.
 
-    Stage 2 looks up both surface forms and stems (the table lists lemmas;
-    METEOR's WordNet stage likewise lemmatizes before synset lookup)."""
+    METEOR 1.5 stage order: 0 exact, 1 stem, 2 synonym, 3 paraphrase."""
     if h == r:
         return 0
     hs, rs = porter2_stem(h), porter2_stem(r)
     if hs == rs:
         return 1
-    for a, b in ((h, r), (hs, rs)):
-        if b in table.get(a, ()) or a in table.get(b, ()):
-            return 2
+    if _table_match(h, r, hs, rs, syn):
+        return 2
+    if _table_match(h, r, hs, rs, para):
+        return 3
     return -1
 
 
 def _align(
-    hyp: List[str], ref: List[str], table=None
+    hyp: List[str], ref: List[str], table=None, para_table=None
 ) -> List[Tuple[int, int, int]]:
     """METEOR alignment: beam search over one-to-one word matches.
 
@@ -128,13 +170,15 @@ def _align(
     Returns [(hyp_idx, ref_idx, stage)] sorted by hyp_idx.
     """
     if table is None:
-        table = get_paraphrase_table()
+        table = get_synonym_table()
+    if para_table is None:
+        para_table = get_paraphrase_table()
     n, m = len(hyp), len(ref)
     cands: List[List[Tuple[int, int]]] = []
     for i in range(n):
         row = []
         for j in range(m):
-            s = _match_stage(hyp[i], ref[j], table)
+            s = _match_stage(hyp[i], ref[j], table, para_table)
             if s >= 0:
                 row.append((j, s))
         cands.append(row)

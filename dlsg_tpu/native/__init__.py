@@ -19,9 +19,21 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+def _stale() -> bool:
+    """Source newer than the built .so (builds are on-demand, not tracked)."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    so_m = os.path.getmtime(_LIB_PATH)
+    for src in ("ptb_meteor.cpp", "Makefile"):
+        p = os.path.join(_HERE, src)
+        if os.path.exists(p) and os.path.getmtime(p) > so_m:
+            return True
+    return False
+
+
 def build(force: bool = False) -> bool:
     """Compile the shared library with make (g++). Returns success."""
-    if os.path.exists(_LIB_PATH) and not force:
+    if not _stale() and not force:
         return True
     try:
         subprocess.run(
@@ -41,7 +53,7 @@ def load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH) and not build():
+    if not build():  # no-op when fresh; recompiles when sources changed
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
@@ -59,12 +71,16 @@ def load() -> Optional[ctypes.CDLL]:
         ]
         lib.dlsg_meteor_load_synonyms.restype = ctypes.c_int
         lib.dlsg_meteor_load_synonyms.argtypes = [ctypes.c_char_p]
-        # install the same default synonym table the Python METEOR uses
-        syn = os.path.join(
-            os.path.dirname(_HERE), "metrics", "data", "synonyms.txt"
-        )
+        lib.dlsg_meteor_load_paraphrases.restype = ctypes.c_int
+        lib.dlsg_meteor_load_paraphrases.argtypes = [ctypes.c_char_p]
+        # install the same default stage-2/3 tables the Python METEOR uses
+        data = os.path.join(os.path.dirname(_HERE), "metrics", "data")
+        syn = os.path.join(data, "synonyms.txt")
         if os.path.exists(syn):
             lib.dlsg_meteor_load_synonyms(syn.encode())
+        para = os.path.join(data, "paraphrases.txt")
+        if os.path.exists(para):
+            lib.dlsg_meteor_load_paraphrases(para.encode())
         _lib = lib
     except OSError:
         _lib = None

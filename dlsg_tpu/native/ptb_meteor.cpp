@@ -444,12 +444,13 @@ std::string porter2(std::string w) {
 
 // ---------------------------------------------------------------------------
 // METEOR aligner — mirrors dlsg_tpu/metrics/meteor.py exactly: exact > stem >
-// synonym stages, then the official beam search over partial alignments
+// synonym > paraphrase stages (METEOR 1.5's four match stages, English
+// weights 1.0/0.6/0.8/0.6), then the official beam search over partial alignments
 // (maximize matches, minimize chunks, minimize distance; beam 40), including
 // the Python side's deterministic matchlist tie-break.
 // ---------------------------------------------------------------------------
 
-const double STAGE_WEIGHTS[3] = {1.0, 0.6, 0.8};
+const double STAGE_WEIGHTS[4] = {1.0, 0.6, 0.8, 0.6};
 const double DELTA = 0.75;
 const int BEAM_WIDTH = 40;
 
@@ -480,28 +481,39 @@ std::vector<std::string> split_ws(const std::string& s) {
   return out;
 }
 
-// word -> synonym set (loaded from the shipped synonyms.txt via
-// dlsg_meteor_load_synonyms; symmetric by construction)
-std::map<std::string, std::set<std::string>>& synonym_table() {
-  static std::map<std::string, std::set<std::string>> table;
+// word -> equivalents (loaded from the shipped synonyms.txt /
+// paraphrases.txt via dlsg_meteor_load_synonyms / _load_paraphrases;
+// symmetric by construction)
+typedef std::map<std::string, std::set<std::string>> EquivTable;
+
+EquivTable& synonym_table() {
+  static EquivTable table;
   return table;
 }
 
-bool syn_hit(const std::string& a, const std::string& b) {
-  const auto& tab = synonym_table();
+EquivTable& paraphrase_table() {
+  static EquivTable table;
+  return table;
+}
+
+bool table_hit(const EquivTable& tab, const std::string& a,
+               const std::string& b) {
   auto it = tab.find(a);
   if (it != tab.end() && it->second.count(b)) return true;
   it = tab.find(b);
   return it != tab.end() && it->second.count(a);
 }
 
-// Stage 2 looks up both surface forms and stems (the table lists lemmas;
+// Stages 2/3 look up both surface forms and stems (the tables list lemmas;
 // METEOR's WordNet stage likewise lemmatizes before synset lookup).
 int match_stage(const std::string& h, const std::string& r,
                 const std::string& hs, const std::string& rs) {
   if (h == r) return 0;
   if (hs == rs) return 1;
-  if (syn_hit(h, r) || syn_hit(hs, rs)) return 2;
+  const auto& syn = synonym_table();
+  if (table_hit(syn, h, r) || table_hit(syn, hs, rs)) return 2;
+  const auto& para = paraphrase_table();
+  if (table_hit(para, h, r) || table_hit(para, hs, rs)) return 3;
   return -1;
 }
 
@@ -597,13 +609,12 @@ int dlsg_porter2_stem(const char* word, char* out, int cap) {
   return n;
 }
 
-// Load the synonym groups file (same format as metrics/data/synonyms.txt).
+// Load an equivalence-groups file (the synonyms.txt/paraphrases.txt format).
 // Returns the number of distinct words in the table, or -1 on error.
-int dlsg_meteor_load_synonyms(const char* path) {
+int load_groups_file(const char* path, EquivTable& table) {
   if (!path) return -1;
   std::ifstream f(path);
   if (!f) return -1;
-  auto& table = synonym_table();
   table.clear();
   std::string line;
   while (std::getline(f, line)) {
@@ -616,6 +627,14 @@ int dlsg_meteor_load_synonyms(const char* path) {
         if (w != x) table[w].insert(x);
   }
   return (int)table.size();
+}
+
+int dlsg_meteor_load_synonyms(const char* path) {
+  return load_groups_file(path, synonym_table());
+}
+
+int dlsg_meteor_load_paraphrases(const char* path) {
+  return load_groups_file(path, paraphrase_table());
 }
 
 // METEOR segment statistics for hyp vs one ref (both space-tokenized).

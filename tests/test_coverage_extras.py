@@ -7,24 +7,53 @@ import numpy as np
 import pytest
 
 from dlsg_tpu.metrics import meteor as meteor_mod
-from dlsg_tpu.metrics.meteor import score_pair, set_paraphrase_table
+from dlsg_tpu.metrics.meteor import (
+    score_pair,
+    set_paraphrase_table,
+    set_synonym_table,
+)
 
 
 def test_meteor_paraphrase_stage():
-    """Installing a paraphrase table enables the third match stage
-    (the reference's meteor-1.5 paraphrase data, weight 0.6)."""
-    refs = ["a man rides a bike"]
+    """Installing a paraphrase table enables the FOURTH match stage (METEOR
+    1.5's paraphrase-en.gz stage, weight 0.6) — independently of the synonym
+    stage. 'guy'/'person' is a shipped stage-3 pair and not a stage-2
+    synonym, so disabling only the paraphrase table must lose the match."""
+    refs = ["a person is cooking rice"]
+    hyp = "a guy is cooking rice"
     try:
-        set_paraphrase_table({})  # disable stage 3 entirely
-        without = score_pair("a man rides a bicycle", refs)
-        set_paraphrase_table({"bicycle": ["bike"]})
-        with_par = score_pair("a man rides a bicycle", refs)
-        set_paraphrase_table(None)  # shipped default table covers bike/bicycle too
-        with_default = score_pair("a man rides a bicycle", refs)
+        set_paraphrase_table({})  # disable stage 3 only; synonyms stay on
+        without = score_pair(hyp, refs)
+        set_paraphrase_table({"guy": ["person"]})
+        with_par = score_pair(hyp, refs)
+        set_paraphrase_table(None)  # shipped default covers guy/person too
+        with_default = score_pair(hyp, refs)
     finally:
         set_paraphrase_table(None)
     assert with_par > without
     assert with_default == with_par
+
+
+def test_meteor_synonym_outweighs_paraphrase():
+    """Same pair through the synonym table (0.8) must outscore the pair
+    through the paraphrase table (0.6): the stage split is real, not two
+    names for one table."""
+    refs = ["a person is cooking rice"]
+    hyp = "a guy is cooking rice"
+    try:
+        set_synonym_table({"guy": ["person"]})
+        set_paraphrase_table({})
+        via_syn = score_pair(hyp, refs)
+        set_synonym_table({})
+        set_paraphrase_table({"guy": ["person"]})
+        via_para = score_pair(hyp, refs)
+        set_synonym_table({})
+        set_paraphrase_table({})
+        no_match = score_pair(hyp, refs)
+    finally:
+        set_synonym_table(None)
+        set_paraphrase_table(None)
+    assert via_syn > via_para > no_match
 
 
 def test_psl_score_v1(tiny_cfg):

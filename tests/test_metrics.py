@@ -102,16 +102,18 @@ def test_meteor_corpus_api():
 def test_meteor_synonym_stage_by_default():
     """The shipped synonym table drives stage 3: 'guy slicing'/'man cutting'
     must score well above the same pair with synonyms disabled."""
-    from dlsg_tpu.metrics.meteor import set_paraphrase_table
+    from dlsg_tpu.metrics.meteor import set_paraphrase_table, set_synonym_table
 
     hyp = "a guy is slicing a tomato"
     refs = ["a man is cutting a tomato"]
     with_syn = score_pair(hyp, refs)
-    set_paraphrase_table({})  # disable stage 3
+    set_synonym_table({})  # disable stages 2 AND 3 (exact+stem only)
+    set_paraphrase_table({})
     try:
         without = score_pair(hyp, refs)
     finally:
-        set_paraphrase_table(None)  # restore the default table
+        set_synonym_table(None)  # restore the default tables
+        set_paraphrase_table(None)
     assert with_syn > without + 0.15, (with_syn, without)
     assert with_syn > 0.8
 
@@ -142,6 +144,7 @@ def test_meteor_matches_nltk_reference():
         _score_from_stats,
         _segment_stats,
         set_paraphrase_table,
+        set_synonym_table,
     )
     from dlsg_tpu.metrics.stemmer import porter2_stem
 
@@ -174,6 +177,7 @@ def test_meteor_matches_nltk_reference():
         ("this is an utterly unrelated sentence",
          "cats sleep on warm windowsills"),
     ]
+    set_synonym_table({})
     set_paraphrase_table({})
     try:
         for hyp, ref in fixtures:
@@ -187,6 +191,7 @@ def test_meteor_matches_nltk_reference():
             )
             assert ours == pytest.approx(theirs, abs=1e-9), (hyp, ours, theirs)
     finally:
+        set_synonym_table(None)
         set_paraphrase_table(None)
 
 
