@@ -155,7 +155,13 @@ def _make_beam_from_feats(model, cfg: DLSGConfig, beam: int, mesh=None) -> Calla
             beam_size=beam,
             normalize=True,  # beam_step returns raw logits
             sparse_step=fused,
-            fast_lse=getattr(cfg, "decode_fast_lse", True),
+            # fast_lse's clipped one-pass sumexp is exact for logits in
+            # (-88, +80) — guaranteed by this model's tanh(LN)@W head but not
+            # by quantized weights, so int8 decode takes the exact logsumexp
+            fast_lse=(
+                getattr(cfg, "decode_fast_lse", True)
+                and getattr(cfg, "decode_quant", "none") == "none"
+            ),
             grouped_topk=getattr(cfg, "decode_grouped_topk", False),
             return_finished=True,
         )

@@ -115,15 +115,26 @@ def beam_search(
     B = start_tokens.shape[0]
 
     def _lse(lp, rowmax):
-        """Row logsumexp over the raw logits. `fast_lse` skips the separate
-        max-reduction pass over [G, V] (measured: 6.72 -> 5.59 ms per 26 beam
-        steps at G=640 on a v5e) by shifting with `rowmax` — the top-1 value
-        the caller's top_k already produced — so it stays numerically exact
-        for ANY weights (e.g. mis-scaled converted or int8 checkpoints),
-        unlike a clipped unshifted sumexp which under/overflows outside
-        (-88, +88)."""
+        """Row logsumexp over the raw logits. `fast_lse` skips the max-shift
+        pass: one INDEPENDENT read of [G, V] that XLA fuses into the vocab
+        matmul (measured: 6.72 -> 5.59 ms per 26 beam steps at G=640 on a
+        v5e). Numerical bounds, documented: exact while logits lie in
+        (-88, +80) fp32 — true by construction for tanh(LN(h)) @ xavier-W
+        vocab heads; above +80 the clip caps the sum, and if EVERY logit is
+        below ~-88 the sum underflows and the +1e-45 floor returns ~-103.6
+        instead of -inf (within-row candidate ranking is unaffected either
+        way — the row's lse is a shared constant). For out-of-distribution
+        weights (quantized or externally converted checkpoints) the decode
+        builder disables fast_lse and takes this exact branch.
+
+        DO NOT "fix" this by shifting with the caller's top-k row max: that
+        makes the lse DEPENDENT on top_k, and XLA's schedule for the step
+        collapses — measured 106.6 ms vs 32.9 ms per decode and a 564 s
+        compile (scripts/bisect_results.jsonl lse_ab_r3). `rowmax` stays a
+        parameter only for the exact branch's potential reuse."""
+        del rowmax
         if fast_lse:
-            return rowmax + jnp.log(jnp.sum(jnp.exp(lp - rowmax[:, None]), axis=-1))
+            return jnp.log(jnp.sum(jnp.exp(jnp.minimum(lp, 80.0)), axis=-1) + 1e-45)
         return jax.nn.logsumexp(lp, axis=-1)
 
     def _topk(lp, kk):
