@@ -121,7 +121,7 @@ def beam_search(
         v5e). Numerical bounds, documented: exact while logits lie in
         (-88, +80) fp32 — true by construction for tanh(LN(h)) @ xavier-W
         vocab heads; above +80 the clip caps the sum, and if EVERY logit is
-        below ~-88 the sum underflows and the +1e-45 floor returns ~-103.6
+        below ~-88 the sum underflows and the +1e-37 floor returns ~-85.2
         instead of -inf (within-row candidate ranking is unaffected either
         way — the row's lse is a shared constant). For out-of-distribution
         weights (quantized or externally converted checkpoints) the decode
@@ -134,7 +134,7 @@ def beam_search(
         parameter only for the exact branch's potential reuse."""
         del rowmax
         if fast_lse:
-            return jnp.log(jnp.sum(jnp.exp(jnp.minimum(lp, 80.0)), axis=-1) + 1e-45)
+            return jnp.log(jnp.sum(jnp.exp(jnp.minimum(lp, 80.0)), axis=-1) + 1e-37)
         return jax.nn.logsumexp(lp, axis=-1)
 
     def _topk(lp, kk):

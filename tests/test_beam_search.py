@@ -154,6 +154,39 @@ def test_normalize_path_equals_logsoftmax_path():
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
 
 
+def test_fast_lse_underflow_stays_finite():
+    """fast_lse's clipped sumexp has documented bounds (-88, +80): inside
+    them it matches exact logsumexp; a pathological all-below--88 row must
+    still produce FINITE scores and the same token ranking (the +1e-45
+    floor), never -inf/NaN."""
+    V = 12
+    key = jax.random.PRNGKey(5)
+    base = jax.random.normal(key, (V, V)) * 2.0
+
+    def mk_step(shift):
+        def step(tokens, state):
+            return base[tokens] + shift, state
+
+        return step
+
+    start = jnp.zeros((2,), jnp.int32)
+    state = {"s": jnp.zeros((2, 1))}
+    kw = dict(end_id=END, max_steps=5, beam_size=3, normalize=True)
+    p_ok, l_ok = beam_search(start, state, mk_step(0.0), fast_lse=True, **kw)
+    p_ex, l_ex = beam_search(start, state, mk_step(0.0), fast_lse=False, **kw)
+    np.testing.assert_array_equal(np.asarray(p_ok), np.asarray(p_ex))
+    np.testing.assert_allclose(np.asarray(l_ok), np.asarray(l_ex), atol=1e-5)
+
+    # all logits < -88: exp underflows; the floor must keep scores FINITE
+    # (no -inf/NaN corruption). Token choices may legitimately differ from
+    # exact lse out of bounds — the per-row normalizer is wrong by a constant
+    # there, which shifts end-vs-continue trade-offs; that is exactly why the
+    # decode builder switches to exact logsumexp for out-of-distribution
+    # (quantized/external) weights.
+    p_lo, l_lo = beam_search(start, state, mk_step(-200.0), fast_lse=True, **kw)
+    assert np.all(np.isfinite(np.asarray(l_lo)))
+
+
 def test_grouped_top_k_matches_lax():
     """grouped_top_k == lax.top_k on tie-free inputs (any V, padded or not)."""
     import numpy as np
