@@ -105,17 +105,32 @@ def main():
     m0, s0 = caption_stats(variables)
     print(f"compiled {time.perf_counter()-t0:.0f}s; raw mean len {m0:.1f}", file=sys.stderr)
 
-    # tune END bias toward mean caption length ~8 (real-data distribution)
+    # tune END bias toward mean caption length ~8 (real-data distribution).
+    # P(end) per step is roughly constant given the bias (random-weight
+    # logits are stationary noise), so lengths are geometric: binary-search
+    # the bias for mean ~8 WITH a nonzero straggler tail (like real data).
+    lo, hi = 0.0, 2.0  # lo: never ends; hi: ends at step 0
     chosen, stats = None, None
-    for bias in (2.0, 3.0, 4.0, 5.0, 6.0, 8.0):
+    best = None
+    for _ in range(12):
+        bias = 0.5 * (lo + hi)
         vs = set_bias(variables, jnp.float32(bias))
         mean_len, n_stragglers = caption_stats(vs)
-        print(f"bias {bias}: mean len {mean_len:.2f}, stragglers(>= {T1}) {n_stragglers}", file=sys.stderr, flush=True)
-        if 6.0 <= mean_len <= 10.0:
+        print(
+            f"bias {bias:.4f}: mean len {mean_len:.2f}, stragglers(>= {T1}) {n_stragglers}",
+            file=sys.stderr, flush=True,
+        )
+        if best is None or abs(mean_len - 8.0) < abs(best[1] - 8.0):
+            best = (bias, mean_len, n_stragglers, vs)
+        if 6.0 <= mean_len <= 10.0 and 0 < n_stragglers <= B // 4:
             chosen, stats = vs, (bias, mean_len, n_stragglers)
             break
+        if mean_len < 8.0:
+            hi = bias
+        else:
+            lo = bias
     if chosen is None:
-        chosen, stats = vs, (bias, mean_len, n_stragglers)
+        chosen, stats = best[3], (best[0], best[1], best[2])
     log({"name": "tp_setup", "bias": stats[0], "mean_len": stats[1], "stragglers": stats[2]})
 
     # exactness on-device at the chosen weights
