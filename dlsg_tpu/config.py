@@ -135,6 +135,12 @@ class DLSGConfig:
     # int8 weight-only quantized INFERENCE matmuls in the decode step
     # (ops/quant.py); training always runs bf16/fp32
     decode_quant: str = "none"  # 'none' | 'int8'
+    # GAN step: serve BOTH phases from ONE generator forward (vjp reused for
+    # the G update after the D substeps). The reference forwards twice
+    # (run_gun.py:167,183) with independent noise draws purely for autograd
+    # convenience; False restores that exact two-draw schedule. See
+    # train/steps.py::make_gan_train_step.
+    gan_single_forward: bool = True
     # per-sequence early-exit decode: pass 1 beam-decodes everyone for t1
     # steps, then only sequences whose beams have not all emitted <end> are
     # re-decoded at full max_words in `bucket`-sized chunks (exact — see

@@ -102,17 +102,49 @@ def make_gan_train_step(gen_model, disc_model, cfg: DLSGConfig, mesh: Optional[M
         r_caption = to_onehot(captions, vocab_size)
 
         rng_gfwd, rng_d, rng_g = jax.random.split(jax.random.fold_in(rng, gen_state.step), 3)
+        single_fwd = getattr(cfg, "gan_single_forward", True)
 
         # ---- D phase: generator forward, everything detached (run_gun.py:167-178)
-        f_caption, obj_psl, motion_psl, alpha_all = gen_model.apply(
-            {"params": gen_state.params},
-            frames,
-            regions,
-            captions,
-            epsilon,
-            False,
-            rngs=_model_rngs(rng_gfwd, gen_state.step),
-        )
+        if single_fwd:
+            # ONE generator traversal serves BOTH phases: the reference runs
+            # the forward twice (run_gun.py:167 for the D phase, :183 for the
+            # G phase) purely for autograd convenience — G's params are
+            # unchanged in between, and its loss depends on them ONLY through
+            # the caption logits (obj/mot/alpha are stop-gradient'd at
+            # :215-218). So: forward once with vjp, reuse the detached
+            # outputs for the D substeps, and pull the G gradient back after
+            # the D phase. Semantics note (documented deviation): the
+            # reference's two forwards draw independent dropout/scheduled-
+            # sampling noise, so its D phase trains against a DIFFERENT fake
+            # sample than the one scoring G's update; sharing one draw
+            # changes that correlation (not the objective's expectation).
+            # Convergence-validated by tests/test_convergence.py; set
+            # gan_single_forward=False for the exact two-draw schedule.
+            def g_fwd(gparams):
+                out, obj, mot, alpha = gen_model.apply(
+                    {"params": gparams},
+                    frames,
+                    regions,
+                    captions,
+                    epsilon,
+                    False,
+                    rngs=_model_rngs(rng_gfwd, gen_state.step),
+                )
+                return out, (obj, mot, alpha)
+
+            f_caption, fwd_vjp, (obj_psl, motion_psl, alpha_all) = jax.vjp(
+                g_fwd, gen_state.params, has_aux=True
+            )
+        else:
+            f_caption, obj_psl, motion_psl, alpha_all = gen_model.apply(
+                {"params": gen_state.params},
+                frames,
+                regions,
+                captions,
+                epsilon,
+                False,
+                rngs=_model_rngs(rng_gfwd, gen_state.step),
+            )
         f_caption = jax.lax.stop_gradient(f_caption)
         obj_psl = jax.lax.stop_gradient(obj_psl)
         motion_psl = jax.lax.stop_gradient(motion_psl)
@@ -180,42 +212,69 @@ def make_gan_train_step(gen_model, disc_model, cfg: DLSGConfig, mesh: Optional[M
             d_substep, disc_state, jax.random.split(rng_d, num_d)
         )
 
-        # ---- G phase: fresh forward; proposals/alpha detached before D
-        # (run_gun.py:183,215-218)
-        def g_losses_fn(gparams):
-            out, obj, mot, alpha = gen_model.apply(
-                {"params": gparams},
-                frames,
-                regions,
-                captions,
-                epsilon,
-                False,
-                rngs=_model_rngs(rng_g, gen_state.step),
-            )
-            cap_loss = masked_cross_entropy(out, captions, lengths)
-            f_logit = disc_model.apply(
-                {"params": disc_state.params},
-                out,  # raw logits, exactly like run_gun.py:218 feeds `tokens`
-                jax.lax.stop_gradient(obj),
-                jax.lax.stop_gradient(mot),
-                att_mask,
-                jax.lax.stop_gradient(alpha),
-                False,
-                rngs={"dropout": jax.random.fold_in(rng_g, 1)},
-            )
-            loss_g = wgan_g_loss(f_logit)
-            # first-sample argmax tokens for the WE/GT progress print
-            # (run_gun.py:250-261)
-            sample = jnp.argmax(out[0], axis=-1)
-            return (cap_loss, loss_g), sample
+        # ---- G phase (run_gun.py:183,215-218): loss head over the caption
+        # logits; proposals/alpha detached before D
+        if single_fwd:
 
-        (cap_loss, loss_g), g_vjp, sample = jax.vjp(
-            g_losses_fn, gen_state.params, has_aux=True
-        )
-        # step-N lambda from step-N cap_loss (run_gun.py:210-231), then the
-        # pullback of total = cap_loss + lambda * loss_G
-        lstate, gan_lambda = lambda_update(lstate, cap_loss)
-        (grads,) = g_vjp((jnp.float32(1.0), gan_lambda))
+            def head_fn(out):
+                cap_loss = masked_cross_entropy(out, captions, lengths)
+                f_logit = disc_model.apply(
+                    {"params": disc_state.params},
+                    out,  # raw logits, exactly like run_gun.py:218 feeds `tokens`
+                    obj_psl,  # already detached (stop_gradient above)
+                    motion_psl,
+                    att_mask,
+                    alpha_all,
+                    False,
+                    rngs={"dropout": jax.random.fold_in(rng_g, 1)},
+                )
+                loss_g = wgan_g_loss(f_logit)
+                # first-sample argmax tokens for the WE/GT progress print
+                # (run_gun.py:250-261)
+                sample = jnp.argmax(out[0], axis=-1)
+                return (cap_loss, loss_g), sample
+
+            # pull the head cotangent back through the SHARED forward
+            (cap_loss, loss_g), head_vjp, sample = jax.vjp(
+                head_fn, f_caption, has_aux=True
+            )
+            lstate, gan_lambda = lambda_update(lstate, cap_loss)
+            (d_out,) = head_vjp((jnp.float32(1.0), gan_lambda))
+            (grads,) = fwd_vjp(d_out)
+        else:
+            # fresh forward with its own noise draw (exact two-draw schedule)
+            def g_losses_fn(gparams):
+                out, obj, mot, alpha = gen_model.apply(
+                    {"params": gparams},
+                    frames,
+                    regions,
+                    captions,
+                    epsilon,
+                    False,
+                    rngs=_model_rngs(rng_g, gen_state.step),
+                )
+                cap_loss = masked_cross_entropy(out, captions, lengths)
+                f_logit = disc_model.apply(
+                    {"params": disc_state.params},
+                    out,
+                    jax.lax.stop_gradient(obj),
+                    jax.lax.stop_gradient(mot),
+                    att_mask,
+                    jax.lax.stop_gradient(alpha),
+                    False,
+                    rngs={"dropout": jax.random.fold_in(rng_g, 1)},
+                )
+                loss_g = wgan_g_loss(f_logit)
+                sample = jnp.argmax(out[0], axis=-1)
+                return (cap_loss, loss_g), sample
+
+            (cap_loss, loss_g), g_vjp, sample = jax.vjp(
+                g_losses_fn, gen_state.params, has_aux=True
+            )
+            # step-N lambda from step-N cap_loss (run_gun.py:210-231), then
+            # the pullback of total = cap_loss + lambda * loss_G
+            lstate, gan_lambda = lambda_update(lstate, cap_loss)
+            (grads,) = g_vjp((jnp.float32(1.0), gan_lambda))
         gen_state = gen_state.apply_gradients(grads)
 
         metrics = {

@@ -61,8 +61,15 @@ def test_ce_step_reduces_loss(setup):
     assert int(state.step) == 5
 
 
-def test_gan_step_runs_and_updates_both(setup):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("single_fwd", [True, False])
+def test_gan_step_runs_and_updates_both(setup, single_fwd):
+    from dataclasses import replace as _replace
+
     cfg, vocab, gen, g_vars, batch = setup
+    cfg = _replace(cfg, gan_single_forward=single_fwd)
     V = len(vocab)
     disc = DiscV2(cfg, V)
     B, T = batch["captions"].shape
