@@ -141,6 +141,9 @@ class DLSGConfig:
     # convenience; False restores that exact two-draw schedule. See
     # train/steps.py::make_gan_train_step.
     gan_single_forward: bool = True
+    # rematerialization policy for the training decoder scan's backward
+    # ('none' | 'dots' | 'full'): trades recompute for residual HBM traffic.
+    decoder_remat: str = "none"
     # per-sequence early-exit decode: pass 1 beam-decodes everyone for t1
     # steps, then only sequences whose beams have not all emitted <end> are
     # re-decoded at full max_words in `bucket`-sized chunks (exact — see

@@ -373,10 +373,23 @@ class Decoder(nn.Module):
                 )
 
         collect = not infer
+        body = lambda mod, c, x: mod(
+            c, x, pre=pre, collect_logits=collect, deterministic=deterministic
+        )
+        # rematerialization policy for the TRAINING scan's backward: 'dots'
+        # saves only matmul outputs (recomputing elementwise chains in the
+        # backward), 'full' recomputes the whole step. Inference never
+        # differentiates, so remat would only add overhead there.
+        remat = getattr(self.cfg, "decoder_remat", "none")
+        if not infer and remat != "none":
+            policy = (
+                jax.checkpoint_policies.dots_saveable
+                if remat == "dots"
+                else jax.checkpoint_policies.nothing_saveable
+            )
+            body = nn.remat(body, policy=policy, prevent_cse=False)
         scan = nn.scan(
-            lambda mod, c, x: mod(
-                c, x, pre=pre, collect_logits=collect, deterministic=deterministic
-            ),
+            body,
             variable_broadcast="params",
             split_rngs={"params": False, "dropout": True},
             in_axes=0,
