@@ -88,11 +88,16 @@ def main() -> None:
     n = 3 + proc_id  # deliberately ragged across processes
     ids = np.full((n, 4), proc_id, np.int32)
     vids = np.arange(n) + 100 * proc_id
-    g_ids, g_vids, _ = _gather_across_hosts(ids, vids, None)
+    alphas = np.full((n, 4, 2), float(proc_id) + 0.5, np.float32)
+    g_ids, g_vids, g_alpha = _gather_across_hosts(ids, vids, alphas)
     assert g_vids.shape[0] == sum(3 + p for p in range(nprocs)), g_vids
     assert set(g_vids.tolist()) == {
         v for p in range(nprocs) for v in (np.arange(3 + p) + 100 * p).tolist()
     }
+    # alpha rows travel with their vids (same keep-mask)
+    assert g_alpha.shape == (g_vids.shape[0], 4, 2)
+    for v, a in zip(g_vids, g_alpha):
+        assert float(a[0, 0]) == (v // 100) + 0.5, (v, a[0, 0])
     print("WORKER OK", proc_id)
 
 

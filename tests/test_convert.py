@@ -312,3 +312,22 @@ def test_cli_evaluate_torch_checkpoint(tiny_cfg, tmp_path):
 
     rc = main(["evaluate", "--synthetic", "--torch_checkpoint", str(pt)] + argv)
     assert rc == 0
+
+
+def test_load_reference_checkpoint_rejects_arbitrary_pickles(tmp_path):
+    """The converter ingests UNTRUSTED reference-trained .pt files: by default
+    it must refuse pickle payloads outside the tensor/numpy allowlist instead
+    of executing them (torch.load(weights_only=False) runs arbitrary code)."""
+    torch = pytest.importorskip("torch")
+    from dlsg_tpu.config import tiny_test_config
+    from dlsg_tpu.convert import load_reference_checkpoint
+
+    class Payload:  # stands in for any attacker-controlled class
+        def __reduce__(self):
+            return (print, ("pwned",))
+
+    pt = tmp_path / "evil.pt"
+    torch.save({"model_state_dict": {}, "cap_list": Payload()}, str(pt))
+    with pytest.raises(Exception) as ei:
+        load_reference_checkpoint(str(pt), tiny_test_config())
+    assert "pwned" not in str(ei.value)
