@@ -11,9 +11,10 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator, Optional
+from typing import Iterator
 
 import jax
+import numpy as np
 
 from dlsg_tpu.parallel.mesh import batch_sharding
 
@@ -40,8 +41,6 @@ def prefetch_to_device(
         if sharding is None:
             return jax.device_put(v)
         if multihost:
-            import numpy as np
-
             return jax.make_array_from_process_local_data(sharding, np.asarray(v))
         return jax.device_put(v, sharding)
 

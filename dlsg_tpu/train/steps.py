@@ -18,7 +18,6 @@ reference's `reduce_tensor` all-reduce (`run_gun.py:433-437`).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
