@@ -98,6 +98,28 @@ def main() -> None:
     assert g_alpha.shape == (g_vids.shape[0], 4, 2)
     for v, a in zip(g_vids, g_alpha):
         assert float(a[0, 0]) == (v // 100) + 0.5, (v, a[0, 0])
+
+    # the REAL evaluate() pipeline, process-sharded + cross-host gathered:
+    # every process must score the full merged set (identical everywhere)
+    from dlsg_tpu.data.loader import eval_batches
+    from dlsg_tpu.evaluation.evaluate import evaluate, make_decode_fn
+
+    eval_ds = ds.eval_view()
+    decode_fn = make_decode_fn(model, cfg, beam_size=1)
+    eval_iter = eval_batches(
+        eval_ds, 4, shard_index=proc_id, num_shards=nprocs
+    )
+    scores, result, _, _ = evaluate(
+        decode_fn,
+        {"params": state.params},
+        eval_iter,
+        vocab,
+        ds.references,
+        cross_host_gather=True,
+    )
+    assert len(result) == len(eval_ds), (len(result), len(eval_ds))
+    with open(str(out) + f".scores", "w") as f:
+        f.write(repr(sorted(scores.items())))
     print("WORKER OK", proc_id)
 
 

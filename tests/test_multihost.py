@@ -72,6 +72,12 @@ def test_two_process_training_matches_single_process(tmp_path):
         assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
         assert "WORKER OK" in log
 
+    # (4b) the real evaluate() pipeline scored the MERGED set identically on
+    # both processes (each decoded only its own disjoint shard)
+    s0 = open(str(outs[0]) + ".scores").read()
+    s1 = open(str(outs[1]) + ".scores").read()
+    assert s0 == s1 and "Bleu_4" in s0
+
     got = [np.load(o) for o in outs]
     keys = sorted(k for k in got[0].files if k != "losses")
     assert keys, "no parameters saved"
