@@ -132,6 +132,10 @@ class DLSGConfig:
     # sumexp and group-max hierarchical top-k
     decode_fast_lse: bool = True
     decode_grouped_topk: bool = False
+    # TPU hardware approximate top-k over the [G, V] beam candidates
+    # (jax.lax.approx_max_k). 0.0 = off (exact lax.top_k). NOT exact: a step
+    # may miss a candidate with probability ~(1 - recall); opt-in for serving.
+    decode_approx_topk: float = 0.0  # recall target in (0, 1], e.g. 0.95
     # int8 weight-only quantized INFERENCE matmuls in the decode step
     # (ops/quant.py); training always runs bf16/fp32
     decode_quant: str = "none"  # 'none' | 'int8'

@@ -76,6 +76,7 @@ def beam_search(
     sparse_step: bool = False,
     fast_lse: bool = False,
     grouped_topk: bool = False,
+    approx_topk_recall: float = 0.0,
     return_finished: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run beam search.
@@ -138,6 +139,14 @@ def beam_search(
         return jax.nn.logsumexp(lp, axis=-1)
 
     def _topk(lp, kk):
+        if approx_topk_recall:
+            # TPU's hardware-accelerated approximate top-k (PartialReduce
+            # custom call) over the wide [G, V] row. NOT exact: each step may
+            # miss a candidate with probability ~(1 - recall); opt-in for
+            # serving where the per-step beam candidate set tolerates it.
+            return jax.lax.approx_max_k(
+                lp, kk, recall_target=approx_topk_recall
+            )
         if grouped_topk:
             return grouped_top_k(lp, kk)
         return jax.lax.top_k(lp, kk)

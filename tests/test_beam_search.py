@@ -231,3 +231,23 @@ def test_early_exit_skip_preserves_semantics():
     assert (preds[:, 0, 1] == END).all()
     assert (preds[:, :, 2:] == END).all()
     assert np.isfinite(np.asarray(lps)).all()
+
+
+def test_approx_topk_mode_runs_and_matches_on_separated_logits():
+    """decode_approx_topk wires jax.lax.approx_max_k into the wide per-row
+    top-k. On CPU the lowering is exact; on TPU recall < 1 may differ per
+    step — this locks the plumbing and the well-separated-logits case."""
+    V = 512
+    key = jax.random.PRNGKey(9)
+    logits = jax.random.normal(key, (V, V)) * 3.0
+
+    def step(tokens, state):
+        return logits[tokens], state
+
+    start = jnp.zeros((2,), jnp.int32)
+    state = {"s": jnp.zeros((2, 1))}
+    kw = dict(end_id=END, max_steps=6, beam_size=4, normalize=True)
+    p_ex, l_ex = beam_search(start, state, step, **kw)
+    p_ap, l_ap = beam_search(start, state, step, approx_topk_recall=0.95, **kw)
+    np.testing.assert_array_equal(np.asarray(p_ex), np.asarray(p_ap))
+    np.testing.assert_allclose(np.asarray(l_ex), np.asarray(l_ap), atol=1e-5)
