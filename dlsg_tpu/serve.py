@@ -28,9 +28,19 @@ from dlsg_tpu.vocab import Vocabulary
 
 class Captioner:
     """NB: `cfg` is taken as FINAL (apply_dataset_overrides yourself if you
-    built it by hand; parse_opt already applies them)."""
+    built it by hand; parse_opt already applies them).
 
-    def __init__(self, cfg: DLSGConfig, vocab: Vocabulary, params):
+    `fast=True` enables the TPU hardware approximate top-k in the beam
+    (decode_approx_topk=0.95): measured -8.5% latency at 99.97% token
+    agreement with the exact beam (BENCHMARKS.md). Serving has no reference
+    parity contract, so the trade is explicit and per-instance.
+    """
+
+    def __init__(self, cfg: DLSGConfig, vocab: Vocabulary, params, fast: bool = False):
+        if fast:
+            from dataclasses import replace
+
+            cfg = replace(cfg, decode_approx_topk=0.95)
         self.cfg = cfg
         self.vocab = vocab
         self.model = CapGnnModel(self.cfg, len(vocab))
@@ -58,8 +68,10 @@ class Captioner:
         return cls(cfg, vocab, params)
 
     @classmethod
-    def from_params(cls, cfg: DLSGConfig, vocab: Vocabulary, params) -> "Captioner":
-        return cls(cfg, vocab, params)
+    def from_params(
+        cls, cfg: DLSGConfig, vocab: Vocabulary, params, fast: bool = False
+    ) -> "Captioner":
+        return cls(cfg, vocab, params, fast=fast)
 
     # smallest compiled batch; buckets double from here up to test_batch_size
     MIN_BUCKET = 8

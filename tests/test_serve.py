@@ -72,3 +72,16 @@ def test_caption_ragged_and_multi_batch(captioner):
     # identical inputs -> identical captions (deterministic inference)
     s2 = cap.caption(frames, regions, greedy=True)
     assert sents == s2
+
+
+def test_fast_profile_captions(captioner):
+    """The fast serving profile (hardware approximate top-k) produces valid
+    captions through the same API; on CPU the approx lowering is exact, so
+    results match the exact captioner."""
+    cap, cfg, vocab = captioner
+    fast = Captioner.from_params(cfg, vocab, cap.variables["params"], fast=True)
+    assert fast.cfg.decode_approx_topk == 0.95
+    rng = np.random.default_rng(3)
+    frames = rng.normal(size=(3, cfg.max_frames, cfg.feature_size))
+    regions = rng.normal(size=(3, cfg.max_frames, cfg.num_obj, cfg.region_feature_size))
+    assert fast.caption(frames, regions) == cap.caption(frames, regions)
