@@ -296,10 +296,12 @@ def load_reference_checkpoint(path: str, cfg: DLSGConfig, trusted: bool = False)
         ckpt = torch.load(path, map_location="cpu", weights_only=False)
     else:
         allow = [np.ndarray, np.dtype]
-        for mod in (getattr(np, "core", None),):
-            ma = getattr(mod, "multiarray", None) if mod else None
-            if ma is not None:
-                allow += [ma._reconstruct, ma.scalar]
+        # numpy >= 2 renamed numpy.core -> numpy._core (same objects; the
+        # pickle stream's numpy.core.multiarray path resolves to them)
+        mod = getattr(np, "_core", None) or getattr(np, "core", None)
+        ma = getattr(mod, "multiarray", None) if mod else None
+        if ma is not None:
+            allow += [ma._reconstruct, ma.scalar]
         dtypes_mod = getattr(np, "dtypes", None)
         if dtypes_mod is not None:
             allow += [
