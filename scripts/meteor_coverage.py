@@ -31,12 +31,11 @@ from dlsg_tpu.metrics.meteor import (
     get_synonym_table,
 )
 from dlsg_tpu.metrics.stemmer import porter2_stem
-from dlsg_tpu.metrics.tokenizer import PTBTokenizer
+from dlsg_tpu.metrics.tokenizer import ptb_tokenize_line
 
 
 def corpus_words(paths) -> Counter:
     counts: Counter = Counter()
-    tok = PTBTokenizer()
     for path in paths:
         with open(path) as f:
             for line in f:
@@ -45,8 +44,7 @@ def corpus_words(paths) -> Counter:
                     line = line.split("\t", 1)[1]
                 if not line:
                     continue
-                caps = {"0": [{"caption": line}]}
-                for w in tok.tokenize(caps)["0"][0].split():
+                for w in ptb_tokenize_line(line):
                     if w not in FUNCTION_WORDS and w.isalpha():
                         counts[w] += 1
     return counts

@@ -255,3 +255,28 @@ def test_scorer_identical_prediction_scores_high():
     assert scores["Bleu_1"] > 0.99
     assert scores["ROUGE_L"] > 0.99
     assert scores["METEOR"] > 0.99
+
+
+def test_meteor_coverage_script_runs(tmp_path, capsys):
+    """scripts/meteor_coverage.py measures stage-2/3 table coverage of a
+    reference txt — the tool that produces the real-data coverage number
+    when MSVD/MSR-VTT caption files are available (BENCHMARKS.md)."""
+    import importlib.util
+    import os
+
+    refs = tmp_path / "refs.txt"
+    refs.write_text(
+        "1\ta man is slicing a tomato\n1\ta guy cuts tomatoes\n"
+        "2\tkids are playing soccer in a field\n"
+    )
+    spec = importlib.util.spec_from_file_location(
+        "meteor_coverage",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "meteor_coverage.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.main([str(refs)]) == 0
+    out = capsys.readouterr().out
+    assert "stage-2 synonym coverage" in out
+    assert "stage-3 paraphrase coverage" in out
+    assert "distinct content words: 10" in out
