@@ -1,8 +1,22 @@
 """Benchmark: beam-5 decode throughput + GAN train throughput (north star).
 
-Prints ONE JSON line: captions/sec of beam-5 decoding at MSR-VTT dimensions
-(the serving metric), with the full D-LSG GAN training step's clips/sec in
-`extra`.
+Prints JSON result lines to stdout as measurements land (the driver keeps the
+LAST parseable line):
+  1. immediately after the decode measurement — a decode-only line (train
+     fields zeroed), so a timeout during the train compile still records the
+     primary serving metric;
+  2. after the train measurement — the final combined line.
+
+Budget safety (the round-3 driver artifact was rc=124/parsed=null because the
+run died inside the train-step compile):
+  - `DLSG_BENCH_BUDGET_S` (default 1500) is the total wall budget. A watchdog
+    thread force-exits with rc=0 shortly before the budget expires, even if
+    the main thread is blocked inside a native remote-compile call, after
+    re-printing the best result so far.
+  - the train bench is only attempted if enough budget remains for its
+    compile (worst observed relay compile ~400 s).
+  - a persistent compilation cache is enabled best-effort so re-runs in the
+    same image skip the long compiles entirely.
 
 Methodology (robust to the remote-TPU relay where `block_until_ready` does not
 block and long compiles kill the relay connection):
@@ -24,11 +38,63 @@ import json
 import os
 import statistics
 import sys
+import threading
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+_T0 = time.monotonic()
+BUDGET_S = float(os.environ.get("DLSG_BENCH_BUDGET_S", "1500"))
+# Leave this much slack for the watchdog to print + flush before the driver's
+# own timeout would SIGKILL us.
+WATCHDOG_SLACK_S = 45.0
+# Don't start the train bench unless at least this much budget remains
+# (worst observed relay train-step compile ~400 s + measurement + margin).
+TRAIN_MIN_REMAINING_S = float(os.environ.get("DLSG_BENCH_TRAIN_MIN_S", "560"))
+
+_best_result: dict = {}
+_result_lock = threading.Lock()
+
+
+def _elapsed() -> float:
+    return time.monotonic() - _T0
+
+
+def _remaining() -> float:
+    return BUDGET_S - _elapsed()
+
+
+def _emit(result: dict) -> None:
+    """Record + print a result line (driver keeps the last parseable line)."""
+    with _result_lock:
+        _best_result.clear()
+        _best_result.update(result)
+        print(json.dumps(result), flush=True)
+
+
+def _watchdog() -> None:
+    """Force rc=0 before the driver's timeout even if stuck in native code."""
+    deadline = BUDGET_S - WATCHDOG_SLACK_S
+    while _elapsed() < deadline:
+        time.sleep(min(5.0, deadline - _elapsed()) + 0.01)
+    with _result_lock:
+        if _best_result:
+            print(json.dumps(_best_result), flush=True)
+            sys.stdout.flush()
+            print("bench: watchdog budget exit", file=sys.stderr, flush=True)
+            os._exit(0)
+        else:  # nothing measured yet — let the driver see the failure
+            print("bench: watchdog expired with no result", file=sys.stderr, flush=True)
+            os._exit(3)
+
+
+import jax  # noqa: E402  (after watchdog scaffolding: import can be slow)
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+try:  # best-effort: skips the 40-400s relay compiles on re-runs
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception as e:  # pragma: no cover - older jax
+    print(f"bench: no persistent cache ({e})", file=sys.stderr)
 
 
 def _fetch(x) -> float:
@@ -89,7 +155,7 @@ def bench_decode(cfg, vocab_size, batch, repeats=8):
 
     print("bench: compiling decode...", file=sys.stderr, flush=True)
     _fetch(step(jnp.float32(0), variables, frames, regions))
-    print("bench: decode compiled", file=sys.stderr, flush=True)
+    print(f"bench: decode compiled ({_elapsed():.0f}s)", file=sys.stderr, flush=True)
     overhead = _null_overhead()
     t, _ = _median_call_time(
         lambda c: step(c, variables, frames, regions), jnp.float32(0), repeats
@@ -133,48 +199,16 @@ def bench_train(cfg, vocab_size, batch, repeats=6):
     print("bench: compiling train step...", file=sys.stderr, flush=True)
     gs, ds, ls, loss = chained((gstate, dstate, lstate0))
     _fetch(loss)
-    print("bench: train step compiled", file=sys.stderr, flush=True)
+    print(f"bench: train step compiled ({_elapsed():.0f}s)", file=sys.stderr, flush=True)
     overhead = _null_overhead()
     t, _ = _median_call_time(lambda s: chained(s[:3]), (gs, ds, ls, loss), repeats)
     per_call = max(t - overhead, 1e-6)
     return batch / per_call, per_call
 
 
-def main():
-    from dlsg_tpu.config import DLSGConfig, apply_dataset_overrides
-
-    # bfloat16 is convergence-validated (tests/test_learning.py passes the same
-    # memorization thresholds in bf16 as fp32), so it is the benchmark default.
-    compute_dtype = os.environ.get("DLSG_BENCH_DTYPE", "bfloat16")
-    cfg = apply_dataset_overrides(
-        DLSGConfig(dataset="msr-vtt", compute_dtype=compute_dtype)
-    )
-    on_tpu = jax.devices()[0].platform != "cpu"
-    batch = 128 if on_tpu else 8
-    vocab_size = 10000 if on_tpu else 512
-
-    decode_cps, decode_dt = bench_decode(cfg, vocab_size, batch)
-    print(f"bench: decode {decode_cps:.1f} captions/s", file=sys.stderr, flush=True)
-    if os.environ.get("DLSG_BENCH_SKIP_TRAIN") == "1":
-        train_cps, train_dt = 0.0, 0.0
-    else:
-        try:
-            train_cps, train_dt = bench_train(cfg, vocab_size, batch)
-        except Exception as e:  # keep the primary metric even if the relay dies
-            print(f"train bench failed: {type(e).__name__}: {e}", file=sys.stderr)
-            train_cps, train_dt = 0.0, 0.0
-
-    vs = 1.0
-    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_prev.json")
-    if os.path.exists(prev_path):
-        try:
-            prev = json.load(open(prev_path))
-            if prev.get("value"):
-                vs = decode_cps / float(prev["value"])
-        except Exception:
-            pass
-
-    result = {
+def _result_line(decode_cps, decode_dt, train_cps, train_dt, batch, vocab_size,
+                 compute_dtype, vs):
+    return {
         "metric": "captions_per_sec_beam5_msrvtt",
         "value": round(decode_cps, 2),
         "unit": "captions/s",
@@ -189,7 +223,65 @@ def main():
             "device": str(jax.devices()[0]),
         },
     }
-    print(json.dumps(result))
+
+
+def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    from dlsg_tpu.config import DLSGConfig, apply_dataset_overrides
+
+    # bfloat16 is convergence-validated (tests/test_learning.py passes the same
+    # memorization thresholds in bf16 as fp32), so it is the benchmark default.
+    compute_dtype = os.environ.get("DLSG_BENCH_DTYPE", "bfloat16")
+    cfg = apply_dataset_overrides(
+        DLSGConfig(dataset="msr-vtt", compute_dtype=compute_dtype)
+    )
+    on_tpu = jax.devices()[0].platform != "cpu"
+    batch = 128 if on_tpu else 8
+    vocab_size = 10000 if on_tpu else 512
+
+    vs = 1.0
+    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_prev.json")
+    if os.path.exists(prev_path):
+        try:
+            prev = json.load(open(prev_path))
+            if prev.get("value"):
+                vs_base = float(prev["value"])
+            else:
+                vs_base = 0.0
+        except Exception:
+            vs_base = 0.0
+    else:
+        vs_base = 0.0
+
+    decode_cps, decode_dt = bench_decode(cfg, vocab_size, batch)
+    if vs_base:
+        vs = decode_cps / vs_base
+    print(f"bench: decode {decode_cps:.1f} captions/s", file=sys.stderr, flush=True)
+    # Emit the decode-only line NOW — a timeout in the train compile must not
+    # lose the primary metric (round-3 failure mode).
+    _emit(_result_line(decode_cps, decode_dt, 0.0, 0.0, batch, vocab_size,
+                       compute_dtype, vs))
+
+    skip_train = os.environ.get("DLSG_BENCH_SKIP_TRAIN") == "1"
+    if not skip_train and _remaining() < TRAIN_MIN_REMAINING_S:
+        print(
+            f"bench: skipping train bench ({_remaining():.0f}s budget left "
+            f"< {TRAIN_MIN_REMAINING_S:.0f}s needed)",
+            file=sys.stderr, flush=True,
+        )
+        skip_train = True
+    if not skip_train:
+        try:
+            train_cps, train_dt = bench_train(cfg, vocab_size, batch)
+            print(
+                f"bench: train {train_cps:.1f} clips/s ({train_dt*1e3:.1f} ms)",
+                file=sys.stderr, flush=True,
+            )
+            _emit(_result_line(decode_cps, decode_dt, train_cps, train_dt,
+                               batch, vocab_size, compute_dtype, vs))
+        except Exception as e:  # keep the primary metric even if the relay dies
+            print(f"train bench failed: {type(e).__name__}: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -220,7 +220,9 @@ def _make_two_pass_fn(
         idx = order[:bucket]
 
         def small(_):
-            ids2, al2 = _pass2(obj[idx], mot[idx])
+            # frames-only generators (CapModel/CapBaseline*) encode to
+            # (feats, None) — a None motion stream passes straight through
+            ids2, al2 = _pass2(obj[idx], None if mot is None else mot[idx])
             mask = unfin[idx]
             new_ids = jnp.where(mask[:, None], ids2, ids1[idx])
             new_al = jnp.where(mask[:, None, None], al2, al1[idx])
@@ -278,6 +280,36 @@ def _jit_decode(decode, mesh) -> Callable:
     return jax.jit(wrapper)
 
 
+def reshard_for_local_eval(variables, eval_mesh):
+    """Reshard train-mesh-committed params for a LOCAL eval mesh.
+
+    After the first sharded train step, parameters are jax.Arrays committed to
+    the GLOBAL training mesh; a decode jit built over the per-process eval mesh
+    (multi-host in-training eval, trainer.py) would then mix two device sets in
+    one computation and raise 'Received incompatible devices'. Each leaf is
+    pulled to host (fully-replicated arrays are locally readable at any process
+    count; tensor-parallel leaves are first replicated on their own mesh with
+    an identity jit, which inserts the all-gather) and committed ONCE,
+    replicated, to the eval mesh — so the per-batch decode calls don't
+    re-transfer the parameters.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def to_host(x):
+        if isinstance(x, jax.Array) and not x.is_fully_replicated:
+            rep = jax.jit(
+                lambda a: a,
+                out_shardings=NamedSharding(x.sharding.mesh, PartitionSpec()),
+            )(x)
+            return np.asarray(rep)
+        return np.asarray(x)
+
+    host = jax.tree_util.tree_map(to_host, variables)
+    if eval_mesh is None:
+        return host
+    return jax.device_put(host, NamedSharding(eval_mesh, PartitionSpec()))
+
+
 def _gather_across_hosts(ids, vids, alphas):
     """Cross-host eval fan-in: every process contributes its shard's decoded
     token ids, and every process ends up with the full set.
@@ -286,26 +318,47 @@ def _gather_across_hosts(ids, vids, alphas):
     a HARD-CODED world size 4 (run_gun.py:270-276); here the payloads are
     fixed-shape arrays (padded to the max per-host count, marked with vid=-1)
     gathered with `multihost_utils.process_allgather` at any process count.
+    A process whose eval shard is EMPTY (eval set smaller than the process
+    count) still participates: shapes are agreed via a metadata gather first,
+    so the empty shard contributes correctly-shaped padding instead of
+    deadlocking the others.
     """
     from jax.experimental import multihost_utils as mhu
 
-    counts = mhu.process_allgather(np.array([ids.shape[0]]))
-    n_max = int(np.max(counts))
+    # metadata round: [n, T, has_alpha, *alpha_trailing_shape]
+    meta = np.zeros(8, np.int64)
+    meta[0] = ids.shape[0]
+    meta[1] = ids.shape[1] if ids.ndim == 2 else 0
+    if alphas is not None:
+        trail = alphas.shape[1:]
+        meta[2] = 1
+        meta[3 : 3 + len(trail)] = trail
+    metas = mhu.process_allgather(meta)  # [P, 8]
+    n_max = int(metas[:, 0].max())
+    t_max = int(metas[:, 1].max())
+    if n_max == 0:  # every shard empty — nothing to merge
+        return ids, vids, alphas
 
-    def pad(a, fill):
-        out = np.full((n_max,) + a.shape[1:], fill, a.dtype)
-        out[: a.shape[0]] = a
+    def pad(a, fill, shape, dtype):
+        out = np.full(shape, fill, dtype)
+        if a.size:
+            out[tuple(slice(0, s) for s in a.shape)] = a
         return out
 
-    ids_g = mhu.process_allgather(pad(ids, 0))  # [P, n_max, T]
-    vids_g = mhu.process_allgather(pad(vids, -1))  # [P, n_max]
+    ids_g = mhu.process_allgather(pad(ids, 0, (n_max, t_max), np.int32))
+    vids_g = mhu.process_allgather(pad(np.asarray(vids, np.int64), -1, (n_max,), np.int64))
     keep = vids_g.reshape(-1) >= 0
-    ids_all = ids_g.reshape(-1, ids.shape[1])[keep]
+    ids_all = ids_g.reshape(-1, t_max)[keep]
     vids_all = vids_g.reshape(-1)[keep]
     alpha_all = None
-    if alphas is not None:
-        al_g = mhu.process_allgather(pad(alphas, 0.0))
-        alpha_all = al_g.reshape((-1,) + alphas.shape[1:])[keep]
+    if metas[:, 2].max():  # any process produced attention weights
+        arow = metas[int(np.argmax(metas[:, 2]))]
+        a_trail = tuple(int(v) for v in arow[3:] if v > 0)
+        local = alphas if alphas is not None else np.zeros((0,) + a_trail, np.float32)
+        al_g = mhu.process_allgather(
+            pad(np.asarray(local, np.float32), 0.0, (n_max,) + a_trail, np.float32)
+        )
+        alpha_all = al_g.reshape((-1,) + a_trail)[keep]
     return ids_all, vids_all, alpha_all
 
 
@@ -346,9 +399,14 @@ def evaluate(
         vid_chunks.append(vids[valid])
         if alphas is not None:
             alpha_chunks.append(alphas[valid])
-    ids_all = np.concatenate(ids_chunks, axis=0)
-    vids_all = np.concatenate(vid_chunks, axis=0)
-    alpha_all = np.concatenate(alpha_chunks, axis=0) if alpha_chunks else None
+    if ids_chunks:
+        ids_all = np.concatenate(ids_chunks, axis=0)
+        vids_all = np.concatenate(vid_chunks, axis=0)
+        alpha_all = np.concatenate(alpha_chunks, axis=0) if alpha_chunks else None
+    else:  # empty per-process shard: still join the cross-host gather below
+        ids_all = np.zeros((0, 0), np.int32)
+        vids_all = np.zeros((0,), np.int64)
+        alpha_all = None
     if cross_host_gather and jax.process_count() > 1:
         ids_all, vids_all, alpha_all = _gather_across_hosts(
             ids_all, vids_all, alpha_all

@@ -175,6 +175,13 @@ class _TrainerBase:
     def _run_eval_inner(self, variables, epoch: int, global_step: int):
         cfg = self.cfg
         t0 = time.time()
+        if self.eval_mesh is not self.mesh:
+            # multi-host: params are committed to the GLOBAL train mesh after
+            # the first step, but decode_fn is jitted over the LOCAL eval mesh
+            # — mixing the device sets raises 'Received incompatible devices'.
+            from dlsg_tpu.evaluation.evaluate import reshard_for_local_eval
+
+            variables = reshard_for_local_eval(variables, self.eval_mesh)
         eval_iter = eval_batches(
             self.eval_dataset,
             cfg.test_batch_size,

@@ -118,6 +118,42 @@ def main() -> None:
         cross_host_gather=True,
     )
     assert len(result) == len(eval_ds), (len(result), len(eval_ds))
+
+    # the TRAINER's in-training eval path: decode_fn jitted over the LOCAL
+    # eval mesh while the params are committed to the GLOBAL train mesh
+    # (trainer.py _run_eval_inner) — without reshard_for_local_eval this
+    # raises 'Received incompatible devices for jitted computation'
+    from dlsg_tpu.evaluation.evaluate import reshard_for_local_eval
+
+    eval_mesh = make_mesh(devices=jax.local_devices())
+    decode_local = make_decode_fn(model, cfg, beam_size=1, mesh=eval_mesh)
+    local_vars = reshard_for_local_eval({"params": state.params}, eval_mesh)
+    scores2, result2, _, _ = evaluate(
+        decode_local,
+        local_vars,
+        eval_batches(eval_ds, 4, shard_index=proc_id, num_shards=nprocs),
+        vocab,
+        ds.references,
+        cross_host_gather=True,
+    )
+    assert result2 == result, "local-eval-mesh decode diverged"
+    assert scores2 == scores
+
+    # an EMPTY per-process eval shard must still participate in the fan-in
+    # (eval set smaller than the process count): give process 1 a stride that
+    # selects nothing while process 0 decodes the full set
+    empty_iter = eval_batches(
+        eval_ds, 8, shard_index=(9 if proc_id else 0), num_shards=(16 if proc_id else 1)
+    )
+    scores3, result3, _, _ = evaluate(
+        decode_local,
+        local_vars,
+        empty_iter,
+        vocab,
+        ds.references,
+        cross_host_gather=True,
+    )
+    assert len(result3) == len(eval_ds), (len(result3), len(eval_ds))
     with open(str(out) + f".scores", "w") as f:
         f.write(repr(sorted(scores.items())))
     print("WORKER OK", proc_id)

@@ -89,6 +89,32 @@ def test_two_pass_sweep_covers_mixed_regime():
     pytest.fail("no sweep point produced a mixed finished/unfinished batch")
 
 
+def test_two_pass_frames_only_model():
+    """CapModel encodes to (feats, None): the two-pass path must pass the None
+    motion stream through instead of indexing it (it crashed at trace time
+    before the guard — lax.cond traces both branches)."""
+    from dataclasses import replace
+
+    from dlsg_tpu.models.generator import CapModel
+
+    cfg = tiny_test_config(test_batch_size=B, max_words=10, beam_size=3)
+    model = CapModel(cfg, VOCAB)
+    rng = np.random.RandomState(1)
+    frames = rng.randn(B, cfg.max_frames, cfg.feature_size).astype(np.float32)
+    regions = rng.randn(
+        B, cfg.max_frames, cfg.num_obj, cfg.region_feature_size
+    ).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(3), frames, jnp.zeros((B, cfg.max_words), jnp.int32)
+    )
+    full_fn = make_decode_fn(model, cfg)
+    tp_cfg = replace(cfg, decode_two_pass_t1=4, decode_two_pass_bucket=2)
+    tp_fn = make_decode_fn(model, tp_cfg)
+    ids_f = np.asarray(full_fn(variables, frames, regions))
+    ids_t = np.asarray(tp_fn(variables, frames, regions))
+    np.testing.assert_array_equal(ids_f, ids_t)
+
+
 def test_two_pass_used_in_evaluate_pipeline():
     """make_decode_fn returns the composite (non-jitted) two-pass callable when
     the config enables it, and it slots into evaluate() unchanged."""
