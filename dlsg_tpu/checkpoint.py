@@ -54,12 +54,17 @@ def save_train(
         "epoch": np.asarray(epoch),
         "gen_params": jax.device_get(gen_state.params),
         "gen_opt_leaves": jax.device_get(jax.tree_util.tree_leaves(gen_state.opt_state)),
+        # the step counter seeds the per-step model rngs (_model_rngs) — it
+        # must survive resume for the resumed run to reproduce the
+        # uninterrupted one
+        "gen_step": jax.device_get(gen_state.step),
     }
     if disc_state is not None:
         payload["disc_params"] = jax.device_get(disc_state.params)
         payload["disc_opt_leaves"] = jax.device_get(
             jax.tree_util.tree_leaves(disc_state.opt_state)
         )
+        payload["disc_step"] = jax.device_get(disc_state.step)
     if lambda_state is not None:
         payload["gan_lambda_state"] = jax.device_get(lambda_state)
     path = os.path.abspath(os.path.join(ckpt_dir, f"epoch_{epoch}"))
@@ -81,11 +86,22 @@ def restore_train(
         treedef = jax.tree_util.tree_structure(state.opt_state)
         return jax.tree_util.tree_unflatten(treedef, leaves)
 
+    import jax.numpy as jnp
+
+    def _step(key, fallback):
+        # older checkpoints lack the step counter; keep the fresh state's
+        return (
+            jnp.asarray(restored[key], jnp.int32)
+            if restored.get(key) is not None
+            else fallback
+        )
+
     out = {
         "epoch": int(restored["epoch"]),
         "gen_state": gen_state.replace(
             params=restored["gen_params"],
             opt_state=refit_opt(gen_state, restored["gen_opt_leaves"]),
+            step=_step("gen_step", gen_state.step),
         ),
         "gan_lambda_state": None,
     }
@@ -101,6 +117,7 @@ def restore_train(
         out["disc_state"] = disc_state.replace(
             params=restored["disc_params"],
             opt_state=refit_opt(disc_state, restored["disc_opt_leaves"]),
+            step=_step("disc_step", disc_state.step),
         )
     return out
 

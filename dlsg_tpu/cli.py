@@ -55,7 +55,15 @@ def main(argv=None):
     extra.add_argument("--synthetic", action="store_true")
     extra.add_argument("--synthetic_videos", type=int, default=32)
     extra.add_argument("--no_debug", action="store_true", help="enable model saving")
-    extra.add_argument("--resume_epoch", type=int, default=None)
+    extra.add_argument(
+        "--resume_epoch", type=str, default=None,
+        help="resume from a full checkpoint: an epoch number, or 'latest' to "
+        "auto-pick the highest epoch_N in checkpoint_dir (fresh start if none)",
+    )
+    extra.add_argument(
+        "--resume", dest="resume_epoch", action="store_const", const="latest",
+        help="shorthand for --resume_epoch latest",
+    )
     extra.add_argument("--metric", type=str, default=None, help="eval: best_METEOR|best_CIDEr ckpt")
     extra.add_argument(
         "--allow_random_params", action="store_true",
@@ -78,7 +86,13 @@ def main(argv=None):
     from dlsg_tpu.parallel.mesh import make_mesh
 
     cfg = parse_opt(cfg_argv)
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    # mesh layout from config: data axis x model axis (tensor parallelism for
+    # the vocab head, parallel/mesh.py TP_RULES). Defaults: all devices on
+    # data, model axis 1 (pure DP — the reference's DDP-only layout).
+    if len(jax.devices()) > 1 or cfg.mesh_model_axis > 1:
+        mesh = make_mesh(n_data=cfg.mesh_data_axis, n_model=cfg.mesh_model_axis)
+    else:
+        mesh = None
     vocab, train_ds, eval_ds, reference = _build_datasets(
         cfg, extra_ns.synthetic, extra_ns.synthetic_videos
     )

@@ -145,6 +145,14 @@ class DLSGConfig:
     # convenience; False restores that exact two-draw schedule. See
     # train/steps.py::make_gan_train_step.
     gan_single_forward: bool = True
+    # WGAN-GP parameter gradient via reverse-over-forward (grad-of-jvp custom
+    # VJP, ops/losses.py::make_gradient_penalty_rof) instead of autodiff's
+    # reverse-over-reverse. Exact; A/B'd in scripts/ab_dphase_r4.py.
+    gan_gp_custom_vjp: bool = False
+    # rematerialization policy for the D substep's grouped trunk pass
+    # ('none' | 'dots' | 'full'): trades recompute for residual HBM traffic
+    # in the 5 serial WGAN-GP substeps (the step's hottest phase).
+    disc_remat: str = "none"
     # rematerialization policy for the training decoder scan's backward
     # ('none' | 'dots' | 'full'): trades recompute for residual HBM traffic.
     decoder_remat: str = "none"

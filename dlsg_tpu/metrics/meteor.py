@@ -12,12 +12,15 @@ this module implements the published METEOR 1.5 English scoring algorithm
   paraphrase. The synonym stage uses a curated caption-domain synonym table
   (`metrics/data/synonyms.txt`, standing in for WordNet 3.0 synsets); the
   paraphrase stage uses a looser word-level equivalence table
-  (`metrics/data/paraphrases.txt`, standing in for the unshippable ~1GB
-  paraphrase-en.gz). `set_synonym_table` / `set_paraphrase_table` swap in
-  custom tables. Documented deviation from the jar: paraphrase-en.gz contains
-  multi-word PHRASE pairs; this matcher only matches single words, so
-  phrase-level paraphrases ("a lot of" ~ "many") do not align — see
-  BENCHMARKS.md "METEOR fidelity" for the full deviation analysis.
+  (`metrics/data/paraphrases.txt`) PLUS a multi-word PHRASE table
+  (`metrics/data/phrase_paraphrases.txt`, '|||'-separated groups): like
+  meteor-1.5's paraphrase stage, a span of hypothesis words can align to a
+  span of reference words ("a lot of" ~ "many"), one-to-one at the word
+  level, under the same lexicographic alignment objective. Both stand in for
+  the unshippable ~1GB paraphrase-en.gz. `set_synonym_table` /
+  `set_paraphrase_table` / `set_phrase_table` swap in custom tables. The
+  remaining deviation from the jar is table CONTENT (curated caption-domain
+  groups vs PPDB) — see BENCHMARKS.md "METEOR fidelity".
 - alignment: the official Aligner's beam search over partial alignments,
   selecting by METEOR's documented objective — MAXIMIZE matched words, then
   MINIMIZE chunks, then MINIMIZE total match distance (Denkowski & Lavie 2011
@@ -69,11 +72,16 @@ FUNCTION_WORDS = frozenset(
 
 _SYNONYMS_PATH = os.path.join(os.path.dirname(__file__), "data", "synonyms.txt")
 _PARAPHRASES_PATH = os.path.join(os.path.dirname(__file__), "data", "paraphrases.txt")
+_PHRASES_PATH = os.path.join(
+    os.path.dirname(__file__), "data", "phrase_paraphrases.txt"
+)
 
 _SYNONYM: Optional[Dict[str, frozenset]] = None  # None -> load default file
 _PARAPHRASE: Optional[Dict[str, frozenset]] = None
+_PHRASE: Optional[Dict[str, frozenset]] = None
 _SYN_CUSTOM = False  # a user-installed table replaces the shipped one
 _PARA_CUSTOM = False
+_PHRASE_CUSTOM = False
 _IS_DEFAULT_TABLE = True  # native fast path only valid with the shipped tables
 
 
@@ -107,6 +115,34 @@ def get_paraphrase_table() -> Dict[str, frozenset]:
     return _PARAPHRASE
 
 
+def _load_phrases_file(path: str) -> Dict[str, frozenset]:
+    """Parse a phrase-groups file: one group of '|||'-separated multi-word
+    phrases per line ('a lot of ||| many ||| lots of'); '#' comments."""
+    table: Dict[str, set] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                phrases = [
+                    " ".join(p.split()) for p in line.split("#")[0].split("|||")
+                ]
+                phrases = [p for p in phrases if p]
+                if len(phrases) < 2:
+                    continue
+                for p in phrases:
+                    table.setdefault(p, set()).update(x for x in phrases if x != p)
+    return {k: frozenset(v) for k, v in table.items()}
+
+
+def get_phrase_table() -> Dict[str, frozenset]:
+    """Stage-3 PHRASE table (weight 0.6): multi-word span equivalences, the
+    span-match side of meteor-1.5's paraphrase stage
+    (caption-eval/pycocoevalcap/meteor/meteor.py:12-23, data paraphrase-en.gz)."""
+    global _PHRASE
+    if _PHRASE is None:
+        _PHRASE = _load_phrases_file(_PHRASES_PATH)
+    return _PHRASE
+
+
 def set_synonym_table(table: Optional[Dict[str, Sequence[str]]]) -> None:
     """Install a custom stage-2 synonym table (word -> equivalents).
 
@@ -114,7 +150,7 @@ def set_synonym_table(table: Optional[Dict[str, Sequence[str]]]) -> None:
     """
     global _SYNONYM, _SYN_CUSTOM, _IS_DEFAULT_TABLE
     _SYN_CUSTOM = table is not None
-    _IS_DEFAULT_TABLE = not (_SYN_CUSTOM or _PARA_CUSTOM)
+    _IS_DEFAULT_TABLE = not (_SYN_CUSTOM or _PARA_CUSTOM or _PHRASE_CUSTOM)
     _SYNONYM = None if table is None else {
         k: frozenset(v) for k, v in table.items()
     }
@@ -127,9 +163,22 @@ def set_paraphrase_table(table: Optional[Dict[str, Sequence[str]]]) -> None:
     """
     global _PARAPHRASE, _PARA_CUSTOM, _IS_DEFAULT_TABLE
     _PARA_CUSTOM = table is not None
-    _IS_DEFAULT_TABLE = not (_SYN_CUSTOM or _PARA_CUSTOM)
+    _IS_DEFAULT_TABLE = not (_SYN_CUSTOM or _PARA_CUSTOM or _PHRASE_CUSTOM)
     _PARAPHRASE = None if table is None else {
         k: frozenset(v) for k, v in table.items()
+    }
+
+
+def set_phrase_table(table: Optional[Dict[str, Sequence[str]]]) -> None:
+    """Install a custom stage-3 PHRASE table (phrase -> equivalent phrases,
+    all space-joined word strings). None restores the shipped default; {}
+    disables span matching."""
+    global _PHRASE, _PHRASE_CUSTOM, _IS_DEFAULT_TABLE
+    _PHRASE_CUSTOM = table is not None
+    _IS_DEFAULT_TABLE = not (_SYN_CUSTOM or _PARA_CUSTOM or _PHRASE_CUSTOM)
+    _PHRASE = None if table is None else {
+        " ".join(k.split()): frozenset(" ".join(x.split()) for x in v)
+        for k, v in table.items()
     }
 
 
@@ -158,21 +207,58 @@ def _match_stage(h: str, r: str, syn, para) -> int:
     return -1
 
 
+def _phrase_candidates(hyp, ref, phrases):
+    """Span-match candidates from the phrase table.
+
+    Returns {hyp_start: [(ref_start, hyp_len, ref_len)]}. A candidate pairs a
+    hyp span with a ref span whose surface phrases are table-equivalent; at
+    least one side must be multi-word (1<->1 pairs belong to the word-level
+    paraphrase table and would double-count stage precedence otherwise).
+    """
+    out: Dict[int, List[Tuple[int, int, int]]] = {}
+    if not phrases:
+        return out
+    max_len = max(len(p.split()) for p in phrases)
+    # index every ref span surface form up to the table's longest phrase
+    ref_spans: Dict[str, List[Tuple[int, int]]] = {}
+    for j in range(len(ref)):
+        for rl in range(1, min(max_len, len(ref) - j) + 1):
+            ref_spans.setdefault(" ".join(ref[j : j + rl]), []).append((j, rl))
+    for i in range(len(hyp)):
+        for hl in range(1, min(max_len, len(hyp) - i) + 1):
+            equiv = phrases.get(" ".join(hyp[i : i + hl]))
+            if not equiv:
+                continue
+            for ph in equiv:
+                for j, rl in ref_spans.get(ph, ()):
+                    if hl + rl >= 3:  # at least one side multi-word
+                        out.setdefault(i, []).append((j, hl, rl))
+    return out
+
+
 def _align(
-    hyp: List[str], ref: List[str], table=None, para_table=None
-) -> List[Tuple[int, int, int]]:
-    """METEOR alignment: beam search over one-to-one word matches.
+    hyp: List[str], ref: List[str], table=None, para_table=None, phrase_table=None
+) -> List[Tuple[int, int, int, int, int]]:
+    """METEOR alignment: beam search over one-to-one span matches.
+
+    Matches are spans — single words for the exact/stem/synonym/word-paraphrase
+    stages, multi-word spans for phrase paraphrases (meteor-1.5's paraphrase
+    stage aligns phrases the same way). Every hyp/ref word is covered by at
+    most one match.
 
     Objective (lexicographic, per the METEOR papers and Aligner.java):
-    1. maximize the number of matched words;
+    1. maximize the number of matched words (hyp coverage + ref coverage);
     2. minimize the number of chunks;
-    3. minimize the sum of |i - j| over matches.
-    Returns [(hyp_idx, ref_idx, stage)] sorted by hyp_idx.
+    3. minimize the sum of |i - j| over match start positions.
+    Returns [(hyp_start, ref_start, hyp_len, ref_len, stage)] sorted by
+    hyp_start.
     """
     if table is None:
         table = get_synonym_table()
     if para_table is None:
         para_table = get_paraphrase_table()
+    if phrase_table is None:
+        phrase_table = get_phrase_table()
     n, m = len(hyp), len(ref)
     cands: List[List[Tuple[int, int]]] = []
     for i in range(n):
@@ -182,53 +268,71 @@ def _align(
             if s >= 0:
                 row.append((j, s))
         cands.append(row)
+    span_cands = _phrase_candidates(hyp, ref, phrase_table)
 
-    # partial alignment state: (used_ref_bitmask, last_i, last_j,
-    #                           matches, chunks, dist, matchlist)
-    start = (0, -2, -2, 0, 0, 0, ())
+    # partial alignment state: (used_ref_bitmask, last_end_i, last_end_j,
+    #                           next_i, words, chunks, dist, matchlist)
+    # last_end_* = final word index of the latest match (chunk adjacency);
+    # next_i = first hyp index not yet covered by a span match;
+    # words = total covered words, hyp side + ref side (2/word match).
+    start = (0, -2, -2, 0, 0, 0, 0, ())
     beam = [start]
     for i in range(n):
-        if not cands[i]:
+        if not cands[i] and i not in span_cands:
             continue
         extended = {}
 
         def consider(state):
-            key = (state[0], state[1], state[2])
+            key = (state[0], state[1], state[2], state[3])
             prev = extended.get(key)
             if prev is None or _state_rank(state) < _state_rank(prev):
                 extended[key] = state
 
         for st in beam:
-            consider(st)  # hyp[i] left unmatched
-            used, li, lj, mt, ch, ds, ml = st
+            used, li, lj, ni, wd, ch, ds, ml = st
+            if ni > i:  # inside an earlier span match: pass through
+                consider(st)
+                continue
+            consider((used, li, lj, i + 1, wd, ch, ds, ml))  # hyp[i] unmatched
             for j, s in cands[i]:
                 bit = 1 << j
                 if used & bit:
                     continue
                 nch = ch + (0 if (li == i - 1 and lj == j - 1) else 1)
-                consider(
-                    (used | bit, i, j, mt + 1, nch, ds + abs(i - j), ml + ((i, j, s),))
-                )
+                consider((
+                    used | bit, i, j, i + 1, wd + 2, nch,
+                    ds + abs(i - j), ml + ((i, j, 1, 1, s),)
+                ))
+            for j, hl, rl in span_cands.get(i, ()):
+                mask = ((1 << rl) - 1) << j
+                if used & mask:
+                    continue
+                nch = ch + (0 if (li == i - 1 and lj == j - 1) else 1)
+                consider((
+                    used | mask, i + hl - 1, j + rl - 1, i + hl, wd + hl + rl,
+                    nch, ds + abs(i - j), ml + ((i, j, hl, rl, 3),)
+                ))
         beam = sorted(extended.values(), key=_state_rank)[:BEAM_WIDTH]
 
     best = min(beam, key=_state_rank)
-    return list(best[6])
+    return list(best[7])
 
 
 def _state_rank(state):
     """Total order on partial alignments: the METEOR objective, then a
     deterministic tie-break on the match list (keeps the C++ port exact)."""
-    _, _, _, matches, chunks, dist, matchlist = state
-    return (-matches, chunks, dist, matchlist)
+    _, _, _, _, words, chunks, dist, matchlist = state
+    return (-words, chunks, dist, matchlist)
 
 
-def _count_chunks(matches: List[Tuple[int, int, int]]) -> int:
-    """Number of contiguous, order-preserving match runs."""
+def _count_chunks(matches: List[Tuple[int, int, int, int, int]]) -> int:
+    """Number of contiguous, order-preserving match runs (a span match is
+    contiguous with its successor when both spans abut on both sides)."""
     if not matches:
         return 0
     chunks = 1
-    for (h0, r0, _), (h1, r1, _) in zip(matches, matches[1:]):
-        if not (h1 == h0 + 1 and r1 == r0 + 1):
+    for (h0, r0, hl0, rl0, _), (h1, r1, _, _, _) in zip(matches, matches[1:]):
+        if not (h1 == h0 + hl0 and r1 == r0 + rl0):
             chunks += 1
     return chunks
 
@@ -283,18 +387,32 @@ def _segment_stats(
 
         st = native.meteor_stats(" ".join(hyp), " ".join(ref))
         if st is not None:
-            return SegmentStats(st[0], st[1], st[2], st[3], int(st[4]), int(st[5]))
+            return SegmentStats(st[0], st[1], st[2], st[3], int(st[4]), st[5])
     matches = _align(hyp, ref)
-    wp_num = sum(params.weights[s] * params.word_weight(hyp[i]) for i, _, s in matches)
-    wr_num = sum(params.weights[s] * params.word_weight(ref[j]) for _, j, s in matches)
+    # every word covered by a match contributes its stage-weighted word weight
+    # (a phrase match covers hl hyp words and rl ref words)
+    wp_num = sum(
+        params.weights[s] * params.word_weight(hyp[i + k])
+        for i, _, hl, _, s in matches
+        for k in range(hl)
+    )
+    wr_num = sum(
+        params.weights[s] * params.word_weight(ref[j + k])
+        for _, j, _, rl, s in matches
+        for k in range(rl)
+    )
     wp_den = sum(params.word_weight(w) for w in hyp)
     wr_den = sum(params.word_weight(w) for w in ref)
     chunks = _count_chunks(matches)
+    cov_h = sum(hl for _, _, hl, _, _ in matches)
+    cov_r = sum(rl for _, _, _, rl, _ in matches)
     # all-words-match, single chunk -> zero fragmentation (the jar scores
     # identical sentences 1.0; with beta=0.2 no other convention can)
-    if matches and chunks == 1 and len(matches) == len(hyp) == len(ref):
+    if matches and chunks == 1 and cov_h == len(hyp) and cov_r == len(ref):
         chunks = 0
-    return SegmentStats(wp_num, wp_den, wr_num, wr_den, chunks, len(matches))
+    # fragmentation denominator: average covered words over the two sides
+    # (equals the match count when all matches are single words)
+    return SegmentStats(wp_num, wp_den, wr_num, wr_den, chunks, (cov_h + cov_r) / 2.0)
 
 
 def _score_from_stats(st: SegmentStats, params: MeteorParams = _DEFAULT_PARAMS) -> float:

@@ -73,6 +73,8 @@ def load() -> Optional[ctypes.CDLL]:
         lib.dlsg_meteor_load_synonyms.argtypes = [ctypes.c_char_p]
         lib.dlsg_meteor_load_paraphrases.restype = ctypes.c_int
         lib.dlsg_meteor_load_paraphrases.argtypes = [ctypes.c_char_p]
+        lib.dlsg_meteor_load_phrases.restype = ctypes.c_int
+        lib.dlsg_meteor_load_phrases.argtypes = [ctypes.c_char_p]
         # install the same default stage-2/3 tables the Python METEOR uses
         data = os.path.join(os.path.dirname(_HERE), "metrics", "data")
         syn = os.path.join(data, "synonyms.txt")
@@ -81,6 +83,9 @@ def load() -> Optional[ctypes.CDLL]:
         para = os.path.join(data, "paraphrases.txt")
         if os.path.exists(para):
             lib.dlsg_meteor_load_paraphrases(para.encode())
+        phrases = os.path.join(data, "phrase_paraphrases.txt")
+        if os.path.exists(phrases):
+            lib.dlsg_meteor_load_phrases(phrases.encode())
         _lib = lib
     except OSError:
         _lib = None

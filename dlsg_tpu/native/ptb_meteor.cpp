@@ -496,6 +496,17 @@ EquivTable& paraphrase_table() {
   return table;
 }
 
+// phrase (space-joined words) -> equivalent phrases; plus the longest phrase
+// length in words (bounds span enumeration). Mirrors meteor.py get_phrase_table.
+EquivTable& phrase_table() {
+  static EquivTable table;
+  return table;
+}
+int& phrase_max_len() {
+  static int n = 0;
+  return n;
+}
+
 bool table_hit(const EquivTable& tab, const std::string& a,
                const std::string& b) {
   auto it = tab.find(a);
@@ -517,24 +528,36 @@ int match_stage(const std::string& h, const std::string& r,
   return -1;
 }
 
+// A match is a span pair: (hyp_start, ref_start, hyp_len, ref_len, stage).
+// Single words for stages 0-3 word matches; multi-word spans for phrase
+// paraphrases (stage 3). Mirrors meteor.py::_align exactly.
+typedef std::array<int, 5> Match;
+
 struct AlignState {
   unsigned long long used;  // ref bitmask (ref length capped at 64)
-  int last_i, last_j;
-  int matches, chunks;
+  int last_i, last_j;       // final word indices of the latest match
+  int next_i;               // first hyp index not covered by a span match
+  int words, chunks;        // words = hyp coverage + ref coverage
   long dist;
-  std::vector<std::array<int, 3>> matchlist;  // (i, j, stage)
+  std::vector<Match> matchlist;
 
   // METEOR objective + deterministic matchlist tie-break
   // (mirrors meteor.py::_state_rank)
   bool rank_less(const AlignState& o) const {
-    if (matches != o.matches) return matches > o.matches;
+    if (words != o.words) return words > o.words;
     if (chunks != o.chunks) return chunks < o.chunks;
     if (dist != o.dist) return dist < o.dist;
     return matchlist < o.matchlist;
   }
 };
 
-std::vector<std::array<int, 3>> beam_align(
+std::string join_span(const std::vector<std::string>& w, size_t a, size_t len) {
+  std::string out = w[a];
+  for (size_t k = 1; k < len; ++k) { out += ' '; out += w[a + k]; }
+  return out;
+}
+
+std::vector<Match> beam_align(
     const std::vector<std::string>& hyp, const std::vector<std::string>& ref) {
   std::vector<std::string> hyp_stem(hyp.size()), ref_stem(ref.size());
   for (size_t i = 0; i < hyp.size(); ++i) hyp_stem[i] = porter2(hyp[i]);
@@ -547,18 +570,47 @@ std::vector<std::array<int, 3>> beam_align(
       if (s >= 0) cands[i].push_back({(int)j, s});
     }
 
-  std::vector<AlignState> beam = {{0ULL, -2, -2, 0, 0, 0, {}}};
+  // phrase-span candidates: hyp_start -> (ref_start, hyp_len, ref_len);
+  // at least one side multi-word (mirrors meteor.py::_phrase_candidates)
+  std::vector<std::vector<std::array<int, 3>>> spans(hyp.size());
+  const EquivTable& phrases = phrase_table();
+  if (!phrases.empty()) {
+    int max_len = phrase_max_len();
+    std::map<std::string, std::vector<std::pair<int, int>>> ref_spans;
+    for (size_t j = 0; j < ref.size() && j < 64; ++j)
+      for (size_t rl = 1; rl <= (size_t)max_len && j + rl <= ref.size() && j + rl <= 64; ++rl)
+        ref_spans[join_span(ref, j, rl)].push_back({(int)j, (int)rl});
+    for (size_t i = 0; i < hyp.size(); ++i)
+      for (size_t hl = 1; hl <= (size_t)max_len && i + hl <= hyp.size(); ++hl) {
+        auto it = phrases.find(join_span(hyp, i, hl));
+        if (it == phrases.end()) continue;
+        for (const auto& ph : it->second) {
+          auto rit = ref_spans.find(ph);
+          if (rit == ref_spans.end()) continue;
+          for (const auto& [j, rl] : rit->second)
+            if ((int)hl + rl >= 3) spans[i].push_back({j, (int)hl, rl});
+        }
+      }
+  }
+
+  std::vector<AlignState> beam = {{0ULL, -2, -2, 0, 0, 0, 0, {}}};
   for (size_t i = 0; i < hyp.size(); ++i) {
-    if (cands[i].empty()) continue;
-    // dedupe by (used, last_i, last_j), keeping the best-ranked state
-    std::map<std::tuple<unsigned long long, int, int>, AlignState> extended;
+    if (cands[i].empty() && spans[i].empty()) continue;
+    // dedupe by (used, last_i, last_j, next_i), keeping the best-ranked state
+    std::map<std::tuple<unsigned long long, int, int, int>, AlignState> extended;
     auto consider = [&](const AlignState& st) {
-      auto key = std::make_tuple(st.used, st.last_i, st.last_j);
+      auto key = std::make_tuple(st.used, st.last_i, st.last_j, st.next_i);
       auto it = extended.find(key);
       if (it == extended.end() || st.rank_less(it->second)) extended[key] = st;
     };
     for (const auto& st : beam) {
-      consider(st);  // hyp[i] left unmatched
+      if (st.next_i > (int)i) {  // inside an earlier span match: pass through
+        consider(st);
+        continue;
+      }
+      AlignState pass = st;  // hyp[i] left unmatched
+      pass.next_i = (int)i + 1;
+      consider(pass);
       for (const auto& [j, s] : cands[i]) {
         unsigned long long bit = 1ULL << j;
         if (st.used & bit) continue;
@@ -567,9 +619,25 @@ std::vector<std::array<int, 3>> beam_align(
         nx.chunks += (st.last_i == (int)i - 1 && st.last_j == j - 1) ? 0 : 1;
         nx.last_i = (int)i;
         nx.last_j = j;
-        nx.matches += 1;
+        nx.next_i = (int)i + 1;
+        nx.words += 2;
         nx.dist += std::labs((long)i - (long)j);
-        nx.matchlist.push_back({(int)i, j, s});
+        nx.matchlist.push_back({(int)i, j, 1, 1, s});
+        consider(nx);
+      }
+      for (const auto& sp : spans[i]) {
+        int j = sp[0], hl = sp[1], rl = sp[2];
+        unsigned long long mask = (rl >= 64 ? ~0ULL : ((1ULL << rl) - 1)) << j;
+        if (st.used & mask) continue;
+        AlignState nx = st;
+        nx.used |= mask;
+        nx.chunks += (st.last_i == (int)i - 1 && st.last_j == j - 1) ? 0 : 1;
+        nx.last_i = (int)i + hl - 1;
+        nx.last_j = j + rl - 1;
+        nx.next_i = (int)i + hl;
+        nx.words += hl + rl;
+        nx.dist += std::labs((long)i - (long)j);
+        nx.matchlist.push_back({(int)i, j, hl, rl, 3});
         consider(nx);
       }
     }
@@ -637,6 +705,44 @@ int dlsg_meteor_load_paraphrases(const char* path) {
   return load_groups_file(path, paraphrase_table());
 }
 
+// Load a phrase-groups file: '|||'-separated phrase groups, one per line,
+// '#' comments (the metrics/data/phrase_paraphrases.txt format — mirrors
+// meteor.py::_load_phrases_file).
+int dlsg_meteor_load_phrases(const char* path) {
+  if (!path) return -1;
+  std::ifstream f(path);
+  if (!f) return -1;
+  EquivTable& table = phrase_table();
+  table.clear();
+  phrase_max_len() = 0;
+  std::string line;
+  while (std::getline(f, line)) {
+    size_t hash = line.find('#');
+    if (hash != std::string::npos) line.resize(hash);
+    std::vector<std::string> phrases;
+    size_t pos = 0;
+    while (pos <= line.size()) {
+      size_t sep = line.find("|||", pos);
+      std::string part = line.substr(pos, sep == std::string::npos ? std::string::npos : sep - pos);
+      // normalize internal whitespace (like ' '.join(p.split()))
+      std::vector<std::string> words = split_ws(part);
+      if (!words.empty()) phrases.push_back(join_span(words, 0, words.size()));
+      if (sep == std::string::npos) break;
+      pos = sep + 3;
+    }
+    if (phrases.size() < 2) continue;
+    for (const auto& p : phrases) {
+      int n = 1;
+      for (char c : p) n += (c == ' ');
+      phrase_max_len() = std::max(phrase_max_len(), n);
+    }
+    for (const auto& a : phrases)
+      for (const auto& b : phrases)
+        if (a != b) table[a].insert(b);
+  }
+  return (int)table.size();
+}
+
 // METEOR segment statistics for hyp vs one ref (both space-tokenized).
 // stats[6] = {wp_num, wp_den, wr_num, wr_den, chunks, matches}.
 // Beam-search alignment identical to metrics/meteor.py::_align.
@@ -647,24 +753,30 @@ int dlsg_meteor_stats(const char* hyp_s, const char* ref_s, double* stats) {
   std::vector<std::string> hyp = split_ws(hyp_s), ref = split_ws(ref_s);
   if (ref.size() > 64) return -1;  // bitmask limit; Python handles the rest
 
-  std::vector<std::array<int, 3>> matches = beam_align(hyp, ref);
+  std::vector<Match> matches = beam_align(hyp, ref);
 
   double wp_num = 0, wr_num = 0, wp_den = 0, wr_den = 0;
+  long cov_h = 0, cov_r = 0;
   for (const auto& m : matches) {
-    wp_num += STAGE_WEIGHTS[m[2]] * word_weight(hyp[m[0]]);
-    wr_num += STAGE_WEIGHTS[m[2]] * word_weight(ref[m[1]]);
+    for (int k = 0; k < m[2]; ++k)
+      wp_num += STAGE_WEIGHTS[m[4]] * word_weight(hyp[m[0] + k]);
+    for (int k = 0; k < m[3]; ++k)
+      wr_num += STAGE_WEIGHTS[m[4]] * word_weight(ref[m[1] + k]);
+    cov_h += m[2];
+    cov_r += m[3];
   }
   for (const auto& w : hyp) wp_den += word_weight(w);
   for (const auto& w : ref) wr_den += word_weight(w);
 
+  // chunk: successor contiguous when both spans abut on both sides
   int chunks = matches.empty() ? 0 : 1;
   for (size_t k = 1; k < matches.size(); ++k) {
-    if (!(matches[k][0] == matches[k - 1][0] + 1 &&
-          matches[k][1] == matches[k - 1][1] + 1))
+    if (!(matches[k][0] == matches[k - 1][0] + matches[k - 1][2] &&
+          matches[k][1] == matches[k - 1][1] + matches[k - 1][3]))
       ++chunks;
   }
-  if (!matches.empty() && chunks == 1 && matches.size() == hyp.size() &&
-      matches.size() == ref.size())
+  if (!matches.empty() && chunks == 1 && cov_h == (long)hyp.size() &&
+      cov_r == (long)ref.size())
     chunks = 0;
 
   stats[0] = wp_num;
@@ -672,7 +784,7 @@ int dlsg_meteor_stats(const char* hyp_s, const char* ref_s, double* stats) {
   stats[2] = wr_num;
   stats[3] = wr_den;
   stats[4] = (double)chunks;
-  stats[5] = (double)matches.size();
+  stats[5] = (cov_h + cov_r) / 2.0;  // frag denominator: avg covered words
   return 0;
 }
 

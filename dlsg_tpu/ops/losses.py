@@ -69,6 +69,60 @@ def gradient_penalty(
     return jnp.mean((norm - 1.0) ** 2)
 
 
+def make_gradient_penalty_rof(apply_fn: Callable):
+    """Gradient penalty with a custom VJP that computes the parameter
+    gradient as reverse-over-FORWARD instead of reverse-over-reverse.
+
+    Exact math, not an approximation: gp = f(g(θ)) with g = ∇_x Σ D(x;θ), so
+    dgp/dθ = u·(∂g/∂θ) with u = ∂f/∂g evaluated at the primal — and
+    u·∂g/∂θ = ∇_θ [u·g] = ∇_θ [jvp of Σ D at mixed in direction u]
+    (the classic Hessian-vector-product-as-grad-of-jvp identity). The default
+    autodiff path instead differentiates through the inner backward graph
+    (reverse-over-reverse), which re-traverses the discriminator trunk;
+    whether grad-of-jvp schedules better on TPU is measured in
+    scripts/ab_dphase_r4.py.
+
+    apply_fn(dparams, caps) -> per-sample logits [B].
+    Returns gp(dparams, mixed) -> scalar. NOTE: the cotangent w.r.t. `mixed`
+    is ZERO by construction — callers must only use this where the mixed
+    input is detached (true in the D substep: real/fake are stop-gradient'd,
+    run_gun.py:355-371 likewise only backprops the penalty into D's params).
+    """
+
+    @jax.custom_vjp
+    def gp(dparams, mixed):
+        g = jax.grad(lambda m: jnp.sum(apply_fn(dparams, m)))(mixed)
+        gn = g.reshape(g.shape[0], -1)
+        norm = jnp.linalg.norm(gn, axis=1)
+        return jnp.mean((norm - 1.0) ** 2)
+
+    def fwd(dparams, mixed):
+        g = jax.grad(lambda m: jnp.sum(apply_fn(dparams, m)))(mixed)
+        B = g.shape[0]
+        gn = g.reshape(B, -1)
+        norm = jnp.linalg.norm(gn, axis=1)
+        val = jnp.mean((norm - 1.0) ** 2)
+        # u = d(gp)/d(g): (2/B) * (norm-1)/norm * g, rowwise
+        coef = (2.0 / B) * (norm - 1.0) / jnp.maximum(norm, 1e-12)
+        u = (coef[:, None] * gn).reshape(g.shape)
+        return val, (dparams, mixed, u)
+
+    def bwd(res, cot):
+        dparams, mixed, u = res
+
+        def hvp_dir(p):
+            # u · ∇_x Σ D(x;p) = d/dε Σ D(mixed + ε·u; p)
+            _, tangent = jax.jvp(lambda m: jnp.sum(apply_fn(p, m)), (mixed,), (u,))
+            return tangent
+
+        gp_grad = jax.grad(hvp_dir)(dparams)
+        gp_grad = jax.tree_util.tree_map(lambda x: x * cot, gp_grad)
+        return gp_grad, jnp.zeros_like(mixed)
+
+    gp.defvjp(fwd, bwd)
+    return gp
+
+
 def wgan_d_loss(
     d_fn: Callable[[jnp.ndarray], jnp.ndarray],
     real: jnp.ndarray,

@@ -87,22 +87,56 @@ TP_RULES = (
 )
 
 
-def param_sharding_specs(params, rules=TP_RULES):
-    """PartitionSpec pytree for a params tree (default: replicate)."""
+def param_sharding_specs(params, rules=TP_RULES, mesh: Optional[Mesh] = None):
+    """PartitionSpec pytree for a params tree (default: replicate).
 
-    def spec_for(path):
+    When `mesh` is given, a rule only applies if every sharded dim of the
+    leaf divides evenly by its mesh axis size — otherwise that leaf falls
+    back to replicated (e.g. a tiny test vocab of 39 on model=2; XLA requires
+    even chunks for device_put shardings)."""
+
+    def divisible(leaf, spec):
+        if mesh is None:
+            return True
+        shape = getattr(leaf, "shape", ())
+        for i, axis in enumerate(spec):
+            if axis is None or i >= len(shape):
+                continue
+            size = mesh.shape[axis] if isinstance(axis, str) else int(
+                np.prod([mesh.shape[a] for a in axis])
+            )
+            if shape[i] % size != 0:
+                return False
+        return True
+
+    def spec_for(path, leaf):
         name = "/".join(str(getattr(p, "key", p)) for p in path)
         for sub, spec in rules:
-            if sub in name:
+            if sub in name and divisible(leaf, spec):
                 return spec
         return P()
 
-    return jax.tree_util.tree_map_with_path(lambda p, _: spec_for(p), params)
+    return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
 def shard_params(params, mesh: Mesh, rules=TP_RULES):
     """device_put params with TP rules applied (replicated otherwise)."""
-    specs = param_sharding_specs(params, rules)
+    specs = param_sharding_specs(params, rules, mesh)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def shard_train_state(state, mesh: Mesh, rules=TP_RULES):
+    """device_put a whole TrainState with the TP rules applied to every
+    param-shaped leaf — the params AND the optimizer's Adam mu/nu mirrors,
+    which must shard exactly like their parameters (their tree paths contain
+    the same `word_restore/...` components, so the same substring rules hit).
+    Scalars (step, lr hyperparams, counts) come out replicated. Once the state
+    is laid out this way, the jitted train step propagates the sharding:
+    XLA partitions the vocab matmul over `model` and keeps the Adam update
+    local to each shard — no resharding per step."""
+    specs = param_sharding_specs(state, rules, mesh)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs
     )

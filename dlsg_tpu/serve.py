@@ -56,6 +56,7 @@ class Captioner:
         vocab: Vocabulary,
         ckpt_dir: Optional[str] = None,
         name: str = "best_CIDEr",
+        fast: bool = False,
     ) -> "Captioner":
         cfg2 = cfg
         model = CapGnnModel(cfg2, len(vocab))
@@ -65,7 +66,7 @@ class Captioner:
         caps = jnp.zeros((B, cfg2.max_words), jnp.int32)
         params = model.init(jax.random.PRNGKey(cfg2.seed), frames, regions, caps)["params"]
         params = ckpt.restore_model(ckpt_dir or cfg2.checkpoint_dir, name, params)
-        return cls(cfg, vocab, params)
+        return cls(cfg, vocab, params, fast=fast)
 
     @classmethod
     def from_params(

@@ -27,6 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from dlsg_tpu.config import DLSGConfig
 from dlsg_tpu.ops.losses import (
     gradient_penalty,
+    make_gradient_penalty_rof,
     masked_cross_entropy,
     to_onehot,
     wgan_g_loss,
@@ -86,6 +87,12 @@ def make_gan_train_step(gen_model, disc_model, cfg: DLSGConfig, mesh: Optional[M
     """
     vocab_size = gen_model.vocab_size
     num_d = cfg.num_D_visual
+    disc_remat_policy = {
+        "none": None,
+        "dots": jax.checkpoint_policies.dots_saveable,
+        "full": jax.checkpoint_policies.nothing_saveable,
+    }[getattr(cfg, "disc_remat", "none")]
+    gp_custom_vjp = getattr(cfg, "gan_gp_custom_vjp", False)
 
     def step(
         gen_state: TrainState,
@@ -165,36 +172,48 @@ def make_gan_train_step(gen_model, disc_model, cfg: DLSGConfig, mesh: Optional[M
             k_eps, k_drop = jax.random.split(sub_rng)
             eps_gp = jax.random.uniform(k_eps, (f_caption.shape[0], 1, 1))
 
+            def apply_d(dparams, caps):
+                return disc_model.apply(
+                    {"params": dparams},
+                    caps,
+                    obj_psl,
+                    motion_psl,
+                    att_mask,
+                    alpha_all,
+                    False,
+                    rngs={"dropout": k_drop},
+                )
+
+            def apply_d2(dparams, caps):
+                return disc_model.apply(
+                    {"params": dparams},
+                    caps,
+                    obj2,
+                    mot2,
+                    att2,
+                    alpha2,
+                    False,
+                    groups=2,
+                    rngs={"dropout": k_drop},
+                )
+
+            if disc_remat_policy is not None:
+                apply_d2 = jax.checkpoint(apply_d2, policy=disc_remat_policy)
+
             def d_loss_fn(dparams):
-                def d_fn(caps):
-                    return disc_model.apply(
-                        {"params": dparams},
-                        caps,
-                        obj_psl,
-                        motion_psl,
-                        att_mask,
-                        alpha_all,
-                        False,
-                        rngs={"dropout": k_drop},
-                    )
-
-                def d_fn2(caps):
-                    return disc_model.apply(
-                        {"params": dparams},
-                        caps,
-                        obj2,
-                        mot2,
-                        att2,
-                        alpha2,
-                        False,
-                        groups=2,
-                        rngs={"dropout": k_drop},
-                    )
-
-                scores = d_fn2(jnp.concatenate([r_caption, f_caption], axis=0))
+                scores = apply_d2(
+                    dparams, jnp.concatenate([r_caption, f_caption], axis=0)
+                )
                 r_loss = jnp.mean(scores[:B])
                 f_loss = jnp.mean(scores[B:])
-                gp = gradient_penalty(d_fn, r_caption, f_caption, eps_gp)
+                if gp_custom_vjp:
+                    mixed = r_caption * eps_gp + f_caption * (1.0 - eps_gp)
+                    gp = make_gradient_penalty_rof(apply_d)(dparams, mixed)
+                else:
+                    gp = gradient_penalty(
+                        lambda caps: apply_d(dparams, caps),
+                        r_caption, f_caption, eps_gp,
+                    )
                 loss = f_loss - r_loss + 10.0 * gp
                 return loss, {"wasserstein": r_loss - f_loss, "gp": gp}
 

@@ -52,7 +52,7 @@ class _TrainerBase:
         test_reference: Dict,
         mesh=None,
         is_debug: bool = True,
-        resume_epoch: Optional[int] = None,
+        resume_epoch: "Optional[int | str]" = None,
     ):
         cfg = apply_dataset_overrides(cfg)
         self.cfg = cfg
@@ -89,10 +89,28 @@ class _TrainerBase:
         else:
             self.eval_mesh = mesh
         self.base_name = cfg.base_name()
-        self.rng = jax.random.key(cfg.seed, impl=cfg.rng_impl)
+        # per-epoch rng streams: each epoch folds its index into the base key
+        # (`_epoch_rng`), so a run resumed from an epoch_N checkpoint draws
+        # exactly the streams the uninterrupted run would have — resume is
+        # bit-reproducible without checkpointing rng state
+        self._base_rng = jax.random.key(cfg.seed, impl=cfg.rng_impl)
+        self.rng = self._base_rng
         self.stopwatch = Stopwatch()
         self._trace_active = False
         self.last_epoch = -1
+        # auto-resume: "latest" resolves to the highest epoch_N checkpoint on
+        # disk, or a fresh start when there is none (the reference requires a
+        # hand-passed epoch, run_gun.py:53-61 — a crash there silently
+        # restarts from scratch; deliberately not copied)
+        if resume_epoch == "latest":
+            resume_epoch = ckpt.latest_epoch(cfg.checkpoint_dir)
+            self._print(
+                f"auto-resume: latest checkpoint epoch = {resume_epoch}"
+                if resume_epoch is not None
+                else "auto-resume: no checkpoint found, starting fresh"
+            )
+        elif isinstance(resume_epoch, str):
+            resume_epoch = int(resume_epoch)
         self.resume_epoch = resume_epoch
 
         self.result_handler = ResultHandler(
@@ -120,6 +138,18 @@ class _TrainerBase:
         )
         self._print(f"GloVe embedding grafted from {cfg.glove_path}")
         return graft_word_embedding(params, matrix)
+
+    def _apply_tp_layout(self, state):
+        """Lay the generator's TrainState out with the tensor-parallel rules
+        when the mesh has a model axis (cfg.mesh_model_axis > 1): the vocab
+        head (word_restore) is column-sharded over `model`, its Adam moments
+        with it, and the jitted steps then keep that layout step over step
+        (parallel/mesh.py shard_train_state)."""
+        from dlsg_tpu.parallel.mesh import MODEL_AXIS, shard_train_state
+
+        if self.mesh is None or self.mesh.shape[MODEL_AXIS] <= 1:
+            return state
+        return shard_train_state(state, self.mesh)
 
     def _gen_optimizer(self):
         """Generator optimizer; freezes the word embedding when configured
@@ -281,6 +311,7 @@ class RunGAN(_TrainerBase):
                 if restored.get("gan_lambda_state") is not None:
                     self.lambda_state = restored["gan_lambda_state"]
             self.last_epoch = restored["epoch"]
+        self.gen_state = self._apply_tp_layout(self.gen_state)
 
     def train(self, num_shards: int = 1, shard_index: int = 0) -> ResultHandler:
         cfg = self.cfg
@@ -289,6 +320,7 @@ class RunGAN(_TrainerBase):
 
         for epoch in range(self.last_epoch + 1, cfg.epoch_num):
             start_time = time.time()
+            self.rng = jax.random.fold_in(self._base_rng, epoch)
             # MultiStepLR (run_gun.py:94-104)
             g_lr = multistep_lr(cfg.learning_rate, G_LR_MILESTONES, LR_GAMMA, epoch)
             d_lr = multistep_lr(cfg.learning_rate, D_LR_MILESTONES, LR_GAMMA, epoch)
@@ -401,8 +433,10 @@ class Run(_TrainerBase):
         g_vars = self.gen_model.init(
             jax.random.PRNGKey(cfg.seed), sample["frames"], sample["regions"], sample["captions"]
         )
-        self.gen_state = TrainState.create(
-            self._maybe_graft_glove(g_vars["params"]), self._gen_optimizer()
+        self.gen_state = self._apply_tp_layout(
+            TrainState.create(
+                self._maybe_graft_glove(g_vars["params"]), self._gen_optimizer()
+            )
         )
         self.ce_step = make_ce_train_step(self.gen_model, cfg, self.mesh)
         # the reference's baseline trainer scores through the same beam-sized
@@ -417,6 +451,7 @@ class Run(_TrainerBase):
         loss_count = 0.0
         for epoch in range(self.last_epoch + 1, cfg.epoch_num):
             start = time.time()
+            self.rng = jax.random.fold_in(self._base_rng, epoch)
             lr = multistep_lr(cfg.learning_rate, G_LR_MILESTONES, LR_GAMMA, epoch)
             self.gen_state = self.gen_state.set_learning_rate(lr)
             self._print(f"Epoch-{epoch} lr: {lr}")
@@ -464,8 +499,8 @@ class RunLegacy(_TrainerBase):
         g_vars = self.gen_model.init(
             jax.random.PRNGKey(cfg.seed), sample["frames"], sample["captions"]
         )
-        self.gen_state = TrainState.create(
-            g_vars["params"], make_optimizer(cfg.learning_rate)
+        self.gen_state = self._apply_tp_layout(
+            TrainState.create(g_vars["params"], make_optimizer(cfg.learning_rate))
         )
         model = self.gen_model
 

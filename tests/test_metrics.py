@@ -127,7 +127,60 @@ def test_meteor_aligner_minimizes_chunks():
     matches = _align("a b c".split(), "b a b c".split(), table={})
     assert len(matches) == 3
     assert _count_chunks(matches) == 1
-    assert matches == [(0, 1, 0), (1, 2, 0), (2, 3, 0)]
+    assert matches == [(0, 1, 1, 1, 0), (1, 2, 1, 1, 0), (2, 3, 1, 1, 0)]
+
+
+def test_meteor_phrase_paraphrase_stage():
+    """Multi-word phrase paraphrases align as spans (meteor-1.5's paraphrase
+    stage over paraphrase-en.gz phrase pairs): 'a lot of people' ~ 'many
+    people' must score far above what word-level stages alone give, and the
+    span alignment must cover the phrase words one-to-one."""
+    from dlsg_tpu.metrics.meteor import _align, set_phrase_table
+
+    hyp = "a lot of people are dancing".split()
+    ref = "many people are dancing".split()
+    matches = _align(hyp, ref)
+    # the 3-word hyp span [a lot of] matches the 1-word ref span [many]
+    assert (0, 0, 3, 1, 3) in matches, matches
+    with_phrases = score_pair(" ".join(hyp), [" ".join(ref)])
+    set_phrase_table({})
+    try:
+        without = score_pair(" ".join(hyp), [" ".join(ref)])
+    finally:
+        set_phrase_table(None)
+    assert with_phrases > without + 0.05, (with_phrases, without)
+    assert with_phrases > 0.7, with_phrases
+
+    # phrase <-> phrase both multi-word, and table symmetry (ref-side lookup)
+    m2 = _align("lots of cars".split(), "a lot of cars".split())
+    assert (0, 0, 2, 3, 3) in m2, m2
+    # custom tables install and normalize whitespace
+    set_phrase_table({"spins  around": ["rotates"]})
+    try:
+        m3 = _align("the top spins around".split(), "the top rotates".split())
+        assert (2, 2, 2, 1, 3) in m3, m3
+    finally:
+        set_phrase_table(None)
+
+
+def test_meteor_phrase_stage_respects_one_to_one():
+    """A word consumed by a span match cannot also match as a single word, and
+    spans never overlap used ref words (the aligner's one-to-one contract)."""
+    from dlsg_tpu.metrics.meteor import _align
+
+    # 'many' appears in ref once; the hyp has both 'a lot of' and 'many'.
+    # Only one of them can take ref 'many'.
+    hyp = "a lot of many people".split()
+    ref = "many people".split()
+    matches = _align(hyp, ref)
+    used_ref = []
+    for _, j, _, rl, _ in matches:
+        used_ref.extend(range(j, j + rl))
+    assert len(used_ref) == len(set(used_ref)), matches
+    used_hyp = []
+    for i, _, hl, _, _ in matches:
+        used_hyp.extend(range(i, i + hl))
+    assert len(used_hyp) == len(set(used_hyp)), matches
 
 
 def test_meteor_matches_nltk_reference():

@@ -73,6 +73,11 @@ def test_meteor_stats_equivalence(monkeypatch):
         ("identical sentence here", "identical sentence here"),
         ("totally different words", "nothing matches at all"),
         ("", "a reference"),
+        # phrase-paraphrase span matches (phrase_paraphrases.txt)
+        ("a lot of people are dancing", "many people are dancing"),
+        ("the man sits down on a chair", "a man sits near a chair"),
+        ("lots of cars on the road", "a lot of cars on a road"),
+        ("a group of kids picks up the ball", "several kids grabs a ball"),
     ]
     for hyp, ref in pairs:
         nat = meteor_mod._segment_stats(hyp.split(), ref.split())
@@ -137,10 +142,14 @@ def test_meteor_beam_aligner_fuzz_equivalence(monkeypatch):
     vocab = (
         "a the man guy woman dog cat runs running run walks walking quickly "
         "slow slices cutting cuts chop guitar piano plays playing ball park "
-        "kid child children is are and on in big large small"
+        "kid child children is are and on in big large small "
+        # phrase-table constituents: random draws form spans like 'a lot of',
+        # 'sits down', 'next to', 'many', exercising the span-match path
+        "lot of lots many sits down stands up next to beside gets out into "
+        "exits people group several couple two pair front top"
     ).split()
     rng = random.Random(7)
-    for _ in range(200):
+    for _ in range(400):
         hyp = " ".join(rng.choices(vocab, k=rng.randint(1, 14)))
         ref = " ".join(rng.choices(vocab, k=rng.randint(1, 14)))
         nat = meteor_mod._segment_stats(hyp.split(), ref.split())

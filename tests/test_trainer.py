@@ -69,6 +69,143 @@ def test_gan_trainer_one_epoch(tmp_path):
     assert images.exists() and any(p.suffix == ".png" for p in images.iterdir())
 
 
+@pytest.mark.slow
+def test_gan_trainer_tensor_parallel_epoch(tmp_path):
+    """RunGAN.train() on a real (data=4, model=2) mesh: the vocab head is
+    column-sharded over `model` (with its Adam moments), the layout survives
+    the whole epoch (jit propagates it — no per-step reshard), and the final
+    parameters match a mesh-free run bit-for-tolerance (TP is a layout, not a
+    numerics change). Consumes cfg.mesh_data_axis/mesh_model_axis the same way
+    `cli train` does."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from dlsg_tpu.parallel.mesh import make_mesh
+    from dlsg_tpu.train.trainer import RunGAN
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    def build(mesh, root):
+        cfg = tiny_test_config(
+            epoch_num=1,
+            result_dir=str(root),
+            train_batch_size=4,
+            test_batch_size=4,
+            beam_size=2,
+            dropout=0.0,
+            rng_impl="threefry2x32",
+            mesh_data_axis=4,
+            mesh_model_axis=2,
+        )
+        # |V| must divide by model=2 for the head to actually shard (a
+        # non-divisible vocab falls back to replicated by design)
+        vocab = make_vocab(extra_words=1)
+        ds = SyntheticDataset(cfg, vocab, num_videos=8, captions_per_video=2)
+        return RunGAN(cfg, vocab, ds, ds.eval_view(), ds.references, mesh=mesh)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    runner = build(mesh, tmp_path / "tp")
+
+    def wr_kernel(state):
+        return state.params["decoder"]["step"]["word_restore"]["kernel"]
+
+    def adam_mu(state):
+        leaves = jax.tree_util.tree_leaves_with_path(state.opt_state)
+        for path, leaf in leaves:
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            if "word_restore" in name and "kernel" in name:
+                return leaf
+        raise AssertionError("no word_restore kernel moment found")
+
+    k = wr_kernel(runner.gen_state)
+    assert k.sharding.spec == P(None, "model"), k.sharding
+    assert k.addressable_shards[0].data.shape[1] == k.shape[1] // 2
+    assert adam_mu(runner.gen_state).sharding.spec == P(None, "model")
+
+    handler = runner.train()
+    assert handler.recorders[0].record is not None
+    k = wr_kernel(runner.gen_state)
+    assert k.sharding.spec == P(None, "model"), "TP layout lost during training"
+    assert adam_mu(runner.gen_state).sharding.spec == P(None, "model")
+
+    # numerics parity vs the mesh-free path (same seeds, dropout off)
+    base = build(None, tmp_path / "dp")
+    base.train()
+    np.testing.assert_allclose(
+        np.asarray(k), np.asarray(wr_kernel(base.gen_state)), atol=2e-4
+    )
+    emb_tp = runner.gen_state.params["decoder"]["step"]["word_embed"]["embedding"]
+    emb_dp = base.gen_state.params["decoder"]["step"]["word_embed"]["embedding"]
+    np.testing.assert_allclose(np.asarray(emb_tp), np.asarray(emb_dp), atol=2e-4)
+
+
+@pytest.mark.slow
+def test_gan_trainer_auto_resume_continuity(tmp_path):
+    """resume_epoch='latest' restores the newest epoch_N checkpoint and the
+    resumed run reproduces the uninterrupted run EXACTLY: params, D params,
+    and the GAN-lambda window all match a straight 2-epoch run after
+    train-1-epoch -> kill -> resume-latest -> train-1-more. Works because
+    every epoch folds its index into the base rng (trainer.py _base_rng),
+    data shuffling is epoch-keyed, and the checkpoint restores optimizer +
+    lambda state (reference resume: run_gun.py:53-61,302-310 — which needs a
+    hand-passed epoch number; 'latest' is the auto-pick)."""
+    import jax
+
+    from dlsg_tpu.train.trainer import RunGAN
+
+    def build(root, epoch_num, resume=None):
+        cfg = tiny_test_config(
+            epoch_num=epoch_num,
+            result_dir=str(root),
+            train_batch_size=4,
+            test_batch_size=4,
+            beam_size=2,
+        )
+        vocab = make_vocab()
+        ds = SyntheticDataset(cfg, vocab, num_videos=8, captions_per_video=2)
+        return RunGAN(
+            cfg, vocab, ds, ds.eval_view(), ds.references,
+            is_debug=False, resume_epoch=resume,
+        )
+
+    # resume='latest' with no checkpoints on disk -> fresh start
+    fresh = build(tmp_path / "fresh", 1, resume="latest")
+    assert fresh.last_epoch == -1
+
+    # uninterrupted 2-epoch run
+    a = build(tmp_path / "a", 2)
+    a.train()
+
+    # 1 epoch, "crash", then auto-resume for the second
+    b1 = build(tmp_path / "b", 1)
+    b1.train()
+    b2 = build(tmp_path / "b", 2, resume="latest")
+    assert b2.last_epoch == 0, "latest checkpoint not picked up"
+    b2.train()
+
+    flat_a = jax.tree_util.tree_leaves_with_path(a.gen_state.params)
+    flat_b = dict(
+        (jax.tree_util.keystr(p), l)
+        for p, l in jax.tree_util.tree_leaves_with_path(b2.gen_state.params)
+    )
+    for path, leaf in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_b[jax.tree_util.keystr(path)]),
+            atol=1e-5, err_msg=f"gen param diverged after resume: {path}",
+        )
+    for la, lb in zip(
+        jax.tree_util.tree_leaves(a.disc_state.params),
+        jax.tree_util.tree_leaves(b2.disc_state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-5)
+    for la, lb in zip(
+        jax.tree_util.tree_leaves(a.lambda_state),
+        jax.tree_util.tree_leaves(b2.lambda_state),
+    ):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-6)
+
+
 def _write_tiny_glove(path, vocab, word_size, known):
     """GloVe text file with deterministic vectors for `known` vocab words."""
     lines = []
