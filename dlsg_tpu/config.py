@@ -147,11 +147,16 @@ class DLSGConfig:
     gan_single_forward: bool = True
     # WGAN-GP parameter gradient via reverse-over-forward (grad-of-jvp custom
     # VJP, ops/losses.py::make_gradient_penalty_rof) instead of autodiff's
-    # reverse-over-reverse. Exact; A/B'd in scripts/ab_dphase_r4.py.
-    gan_gp_custom_vjp: bool = False
+    # reverse-over-reverse. Exact (tests/test_losses.py) and measured -16%
+    # full GAN step on v5e (182.3 -> 153.2 ms interleaved A/B, dphase_ab_r4
+    # in scripts/bisect_results.jsonl) — the D phase's GP double-backward was
+    # the step's hottest residue. False restores plain autodiff.
+    gan_gp_custom_vjp: bool = True
     # rematerialization policy for the D substep's grouped trunk pass
     # ('none' | 'dots' | 'full'): trades recompute for residual HBM traffic
-    # in the 5 serial WGAN-GP substeps (the step's hottest phase).
+    # in the 5 serial WGAN-GP substeps. Measured (dphase_ab_r4): 'dots' wins
+    # -8% alone but LOSES vs gan_gp_custom_vjp and hurts when combined
+    # (168.8 vs 153.2 ms); 'full' is an outright loss. Default off.
     disc_remat: str = "none"
     # rematerialization policy for the training decoder scan's backward
     # ('none' | 'dots' | 'full'): trades recompute for residual HBM traffic.

@@ -33,7 +33,10 @@ _CONTRACTIONS = re.compile(
 ABBREVIATIONS = frozenset(
     """dr. mr. mrs. ms. st. jr. sr. prof. gen. gov. sgt. capt. rev. hon.
     u.s. u.k. e.g. i.e. etc. ft. lb. lbs. oz. vs. v. co. inc. ltd. no.
-    dept. approx. min. max. sec. hr. a.m. p.m.""".split()
+    dept. approx. min. max. sec. hr. a.m. p.m.
+    mt. ave. blvd. rd. lt. col. maj. adm. sen. rep. pres. supt. det.
+    jan. feb. mar. apr. jun. jul. aug. sept. oct. nov. dec.
+    est. fig. misc. vol. ch. pp. ed. univ. assn. bros. corp. mfg.""".split()
 )
 
 

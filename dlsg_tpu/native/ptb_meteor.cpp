@@ -115,17 +115,17 @@ std::string ptb_tokenize(const std::string& line, bool lowercase) {
     s = out;
   }
 
-  // clitics: (\w+)n't -> "\1 n't" ; (\w)('s|'re|'ve|'ll|'d|'m) -> split
+  // clitics — mirroring the Python side's SEPARATE re.sub passes (each pass
+  // scans fresh, with its own resume-after-match semantics; a shared resume
+  // across rules wrongly blocked the second rule in "shouldn't've"):
+  //   pass 1: \b(\w+)(n't)\b       -> "\1 n't"
+  //   pass 2: (\w)('s|'re|...)\b   -> split  (resume keeps "i'd've" intact)
+  //   pass 3: (s)'(\s|$)           -> "s ' "
+  //   pass 4: (?<=\w)'(?=\s|$)     -> " '"
   {
     std::string out;
-    size_t i = 0;
-    // Python's re.sub resumes scanning after each replacement, so a clitic
-    // whose required leading \w char falls inside the previous match does not
-    // split (e.g. "i'd've" -> "i 'd've"). resume = first index eligible to
-    // start a new match.
-    size_t resume = 0;
-    while (i < s.size()) {
-      // n't
+    size_t resume = 0;  // the leading \w+ must start at or after the last match
+    for (size_t i = 0; i < s.size();) {
       if (i + 2 < s.size() && s[i] == 'n' && s[i + 1] == '\'' && s[i + 2] == 't' &&
           i > 0 && is_word(s[i - 1]) && i - 1 >= resume &&
           (i + 3 == s.size() || !is_word(s[i + 3]))) {
@@ -134,6 +134,15 @@ std::string ptb_tokenize(const std::string& line, bool lowercase) {
         resume = i;
         continue;
       }
+      out += s[i];
+      ++i;
+    }
+    s = out;
+  }
+  {
+    std::string out;
+    size_t resume = 0;  // re.sub resumes after each match ("i'd've" -> "i 'd've")
+    for (size_t i = 0; i < s.size();) {
       if (s[i] == '\'' && i > 0 && is_word(s[i - 1]) && i - 1 >= resume &&
           i + 1 < s.size()) {
         std::string rest = s.substr(i + 1);
@@ -159,6 +168,14 @@ std::string ptb_tokenize(const std::string& line, bool lowercase) {
           continue;
         }
       }
+      out += s[i];
+      ++i;
+    }
+    s = out;
+  }
+  {
+    std::string out;
+    for (size_t i = 0; i < s.size();) {
       // plural possessive: s' followed by space/eos
       if (s[i] == '\'' && i > 0 && s[i - 1] == 's' &&
           (i + 1 == s.size() || std::isspace((unsigned char)s[i + 1]))) {
@@ -214,7 +231,12 @@ std::string ptb_tokenize(const std::string& line, bool lowercase) {
       "gov.", "sgt.", "capt.", "rev.", "hon.", "u.s.", "u.k.", "e.g.",
       "i.e.", "etc.", "ft.", "lb.", "lbs.", "oz.", "vs.", "v.", "co.",
       "inc.", "ltd.", "no.", "dept.", "approx.", "min.", "max.", "sec.",
-      "hr.", "a.m.", "p.m."};
+      "hr.", "a.m.", "p.m.",
+      "mt.", "ave.", "blvd.", "rd.", "lt.", "col.", "maj.", "adm.", "sen.",
+      "rep.", "pres.", "supt.", "det.", "jan.", "feb.", "mar.", "apr.",
+      "jun.", "jul.", "aug.", "sept.", "oct.", "nov.", "dec.", "est.",
+      "fig.", "misc.", "vol.", "ch.", "pp.", "ed.", "univ.", "assn.",
+      "bros.", "corp.", "mfg."};
   std::istringstream iss(s);
   std::string tok, out;
   auto emit = [&out](const std::string& t) {

@@ -28,13 +28,14 @@ from collections import Counter
 from dlsg_tpu.metrics.meteor import (
     FUNCTION_WORDS,
     get_paraphrase_table,
+    get_phrase_table,
     get_synonym_table,
 )
 from dlsg_tpu.metrics.stemmer import porter2_stem
 from dlsg_tpu.metrics.tokenizer import ptb_tokenize_line
 
 
-def corpus_words(paths) -> Counter:
+def corpus_words(paths, phrase_counts: Counter = None, max_phrase_len: int = 0) -> Counter:
     counts: Counter = Counter()
     for path in paths:
         with open(path) as f:
@@ -44,9 +45,14 @@ def corpus_words(paths) -> Counter:
                     line = line.split("\t", 1)[1]
                 if not line:
                     continue
-                for w in ptb_tokenize_line(line):
+                toks = ptb_tokenize_line(line)
+                for w in toks:
                     if w not in FUNCTION_WORDS and w.isalpha():
                         counts[w] += 1
+                if phrase_counts is not None and max_phrase_len > 1:
+                    for i in range(len(toks)):
+                        for L in range(2, min(max_phrase_len, len(toks) - i) + 1):
+                            phrase_counts[" ".join(toks[i : i + L])] += 1
     return counts
 
 
@@ -58,8 +64,11 @@ def main(argv) -> int:
     if not argv:
         print(__doc__)
         return 2
-    counts = corpus_words(argv)
     syn, para = get_synonym_table(), get_paraphrase_table()
+    phrases = get_phrase_table()
+    max_pl = max((len(p.split()) for p in phrases), default=0)
+    phrase_counts: Counter = Counter()
+    counts = corpus_words(argv, phrase_counts, max_pl)
     n = len(counts)
     tok_total = sum(counts.values())
     s_hits = {w for w in counts if covered(w, syn)}
@@ -79,6 +88,19 @@ def main(argv) -> int:
     uncovered = [(c, w) for w, c in counts.items() if w not in any_hits]
     uncovered.sort(reverse=True)
     print("top uncovered content words:", ", ".join(f"{w}({c})" for c, w in uncovered[:25]))
+
+    # phrase-table (span paraphrase) stats: which table phrases occur in the
+    # corpus at all — a phrase group only fires when one of its members shows
+    # up as a contiguous span
+    if phrases:
+        seen = {p for p in phrases if phrase_counts.get(p, 0) > 0}
+        occ = sum(phrase_counts[p] for p in seen)
+        print(
+            f"phrase table: {len(phrases)} phrases, {len(seen)} occur in corpus "
+            f"({100.0 * len(seen) / len(phrases):.1f}%), {occ} span occurrences"
+        )
+        top = sorted(((phrase_counts[p], p) for p in seen), reverse=True)[:15]
+        print("top occurring table phrases:", ", ".join(f"'{p}'({c})" for c, p in top))
     return 0
 
 
