@@ -152,6 +152,10 @@ class DLSGConfig:
     # in scripts/bisect_results.jsonl) — the D phase's GP double-backward was
     # the step's hottest residue. False restores plain autodiff.
     gan_gp_custom_vjp: bool = True
+    # unroll factor for the num_D-substep lax.scan (1 = rolled loop). An
+    # unrolled loop lets XLA overlap substep tails at the cost of num_D x
+    # code size; A/B'd in scripts/ab_dphase2_r4.py.
+    disc_scan_unroll: int = 1
     # rematerialization policy for the D substep's grouped trunk pass
     # ('none' | 'dots' | 'full'): trades recompute for residual HBM traffic
     # in the 5 serial WGAN-GP substeps. Measured (dphase_ab_r4): 'dots' wins
@@ -322,8 +326,15 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
                 type=lambda s: s.lower() in ("1", "true", "yes"),
                 default=f.default,
             )
-        # tuple ranges stay at their defaults (the reference never overrode them
-        # from the CLI either — argparse type=tuple is broken there, opt.py:79-89)
+        elif str(f.type).startswith("Tuple[int") or f.type == Tuple[int, int]:
+            # id ranges as two ints: --msvd_test_range 1300 1970. The
+            # reference's argparse for these is silently broken
+            # (type=tuple, opt.py:79-89 — "1300" becomes ('1','3','0','0'));
+            # deliberately fixed here so small/custom datasets can set real
+            # eval ranges from the CLI.
+            parser.add_argument(
+                f"--{f.name}", type=int, nargs=2, default=f.default,
+            )
 
 
 def parse_opt(argv: Optional[list] = None, apply_overrides: bool = True) -> DLSGConfig:
@@ -331,7 +342,9 @@ def parse_opt(argv: Optional[list] = None, apply_overrides: bool = True) -> DLSG
     parser = argparse.ArgumentParser(description="D-LSG video captioning (TPU)")
     _add_args(parser)
     ns = parser.parse_args(argv)
-    cfg = DLSGConfig(**{k: v for k, v in vars(ns).items()})
+    cfg = DLSGConfig(
+        **{k: tuple(v) if isinstance(v, list) else v for k, v in vars(ns).items()}
+    )
     if apply_overrides:
         cfg = apply_dataset_overrides(cfg)
     return cfg

@@ -60,7 +60,11 @@ def eval_batches(
 
     The final partial batch is padded to full size by repeating the last sample
     (static shapes -> a single compiled decode fn). A boolean `valid` mask marks
-    the genuine entries so scoring can drop the padding.
+    the genuine entries so scoring can drop the padding. The padded rows do get
+    decoded (wasted work, bounded by one batch per eval): bucketing the tail to
+    smaller compiled shapes would trade that for extra multi-minute relay
+    compiles per bucket — the serving path (serve.py), where request sizes vary
+    per call, makes the opposite choice and buckets.
     """
     idxs = np.arange(len(dataset))[shard_index::num_shards]
     for b in range(0, len(idxs), batch_size):

@@ -227,7 +227,10 @@ def make_gan_train_step(gen_model, disc_model, cfg: DLSGConfig, mesh: Optional[M
             )
 
         disc_state, (d_losses, wassersteins, gps) = jax.lax.scan(
-            d_substep, disc_state, jax.random.split(rng_d, num_d)
+            d_substep,
+            disc_state,
+            jax.random.split(rng_d, num_d),
+            unroll=getattr(cfg, "disc_scan_unroll", 1),
         )
 
         # ---- G phase (run_gun.py:183,215-218): loss head over the caption

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dlsg_tpu.ops.losses import (
     gradient_penalty,
@@ -135,6 +136,7 @@ def test_gp_custom_vjp_matches_autodiff():
         )
 
 
+@pytest.mark.slow
 def test_gan_step_gp_custom_vjp_and_remat_match_default():
     """The config-gated D-phase variants (gan_gp_custom_vjp, disc_remat) must
     be numerics-preserving through a real GAN train step."""

@@ -53,3 +53,17 @@ def test_glove_matrix(tmp_path):
     # cache hit returns identical matrix
     m2 = load_glove_matrix(v, 2, str(glove), cache_npy_path=str(tmp_path / "c.npy"))
     np.testing.assert_allclose(m, m2)
+
+
+def test_parse_opt_tuple_range_flags():
+    """--msvd_test_range / --msrvtt_test_range take two ints (the reference's
+    argparse for these is silently broken — type=tuple turns '1300' into
+    ('1','3','0','0'), opt.py:79-89 — deliberately fixed here)."""
+    from dlsg_tpu.config import parse_opt
+
+    cfg = parse_opt(["--dataset", "msvd", "--msvd_test_range", "4", "6"])
+    assert cfg.msvd_test_range == (4, 6)
+    assert cfg.test_range == (4, 6)
+    # defaults intact when not passed
+    cfg2 = parse_opt(["--dataset", "msr-vtt"])
+    assert cfg2.test_range == (7010, 10000)
