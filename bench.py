@@ -86,6 +86,12 @@ def _watchdog() -> None:
             os._exit(3)
 
 
+# the watchdog must be live BEFORE `import jax`: the sitecustomize-registered
+# TPU plugin can block inside the import waiting on a relay session grant,
+# which would otherwise reproduce the rc=124/no-output driver failure
+if __name__ == "__main__":  # never arm the watchdog on a mere import
+    threading.Thread(target=_watchdog, daemon=True).start()
+
 import jax  # noqa: E402  (after watchdog scaffolding: import can be slow)
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
@@ -226,8 +232,6 @@ def _result_line(decode_cps, decode_dt, train_cps, train_dt, batch, vocab_size,
 
 
 def main():
-    threading.Thread(target=_watchdog, daemon=True).start()
-
     from dlsg_tpu.config import DLSGConfig, apply_dataset_overrides
 
     # bfloat16 is convergence-validated (tests/test_learning.py passes the same

@@ -111,6 +111,18 @@ def main(argv=None):
         runner.train(**shards)
         return 0
 
+    if command in ("train-base", "train-legacy") and extra_ns.resume_epoch is not None:
+        # only the GAN trainer writes/restores full training checkpoints
+        # (reference parity: run_gun.py:302-310 — run_graph.py / run.py never
+        # checkpoint); silently dropping the flag would fake a resume
+        print(
+            f"{command}: --resume/--resume_epoch is only supported by `train` "
+            "(the baseline trainers keep no full training checkpoints, "
+            "matching the reference)",
+            file=sys.stderr,
+        )
+        return 2
+
     if command == "train-base":
         from dlsg_tpu.train.trainer import Run
 

@@ -13,6 +13,7 @@ gathered by simply reading the replicated/jit output on host.
 
 from __future__ import annotations
 
+import functools
 import time
 from collections import OrderedDict
 from typing import Callable, Dict, Optional, Tuple
@@ -280,6 +281,14 @@ def _jit_decode(decode, mesh) -> Callable:
     return jax.jit(wrapper)
 
 
+@functools.lru_cache(maxsize=None)
+def _replicate_jit(out_sharding):
+    """One cached identity-jit per target sharding: a fresh `jax.jit(lambda..)`
+    per leaf per call would miss jit's function-keyed cache and recompile the
+    all-gather on every in-training eval (NamedSharding is hashable)."""
+    return jax.jit(lambda a: a, out_shardings=out_sharding)
+
+
 def reshard_for_local_eval(variables, eval_mesh):
     """Reshard train-mesh-committed params for a LOCAL eval mesh.
 
@@ -297,10 +306,7 @@ def reshard_for_local_eval(variables, eval_mesh):
 
     def to_host(x):
         if isinstance(x, jax.Array) and not x.is_fully_replicated:
-            rep = jax.jit(
-                lambda a: a,
-                out_shardings=NamedSharding(x.sharding.mesh, PartitionSpec()),
-            )(x)
+            rep = _replicate_jit(NamedSharding(x.sharding.mesh, PartitionSpec()))(x)
             return np.asarray(rep)
         return np.asarray(x)
 

@@ -80,7 +80,11 @@ def build(cfg):
 def main():
     from dlsg_tpu.config import DLSGConfig, apply_dataset_overrides
 
-    base = apply_dataset_overrides(DLSGConfig(dataset="msr-vtt", compute_dtype="bfloat16"))
+    # NB: gan_gp_custom_vjp defaults to True since the round-4 flip — every
+    # variant pins it EXPLICITLY so the autodiff baseline stays a baseline
+    base = apply_dataset_overrides(
+        DLSGConfig(dataset="msr-vtt", compute_dtype="bfloat16", gan_gp_custom_vjp=False)
+    )
     variants = {
         "base": base,
         "gp_rof": replace(base, gan_gp_custom_vjp=True),

@@ -173,10 +173,12 @@ def test_gan_step_gp_custom_vjp_and_remat_match_default():
     key = jax.random.key(3, impl=cfg.rng_impl)
 
     results = {}
+    # pin the baseline to plain autodiff explicitly — gan_gp_custom_vjp
+    # defaults to True, so 'default': cfg would compare gp_rof to itself
     for name, cfg_v in {
-        "default": cfg,
+        "default": replace(cfg, gan_gp_custom_vjp=False),
         "gp_rof": replace(cfg, gan_gp_custom_vjp=True),
-        "remat": replace(cfg, disc_remat="dots"),
+        "remat": replace(cfg, gan_gp_custom_vjp=False, disc_remat="dots"),
     }.items():
         step = make_gan_train_step(gen, disc, cfg_v)
         # fresh buffers per variant: the jitted step donates its states

@@ -126,3 +126,37 @@ def test_tp_param_sharding():
             lambda p: model.apply({"params": p}, frames, regions, caps)
         )(sharded)
     np.testing.assert_allclose(np.asarray(out_tp), np.asarray(out_repl), atol=2e-5)
+
+
+def test_tp_sharded_beam_decode_matches_replicated():
+    """Full beam-search DECODE under TP-sharded params (vocab head split over
+    the model axis) must reproduce the replicated decode token-for-token —
+    the inference side of the dp x tp layout (the per-step vocab matmul runs
+    column-sharded; XLA all-gathers the logits for top-k)."""
+    import jax.numpy as jnp
+
+    from dlsg_tpu.config import tiny_test_config
+    from dlsg_tpu.evaluation.evaluate import make_decode_fn
+    from dlsg_tpu.models.generator import CapGnnModel
+    from dlsg_tpu.parallel.mesh import make_mesh, shard_params
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    cfg = tiny_test_config(test_batch_size=4, beam_size=2)
+    model = CapGnnModel(cfg, 64)
+    B = 4
+    rng = np.random.default_rng(3)
+    frames = jnp.asarray(rng.normal(size=(B, cfg.max_frames, cfg.feature_size)), jnp.float32)
+    regions = jnp.asarray(
+        rng.normal(size=(B, cfg.max_frames, cfg.num_obj, cfg.region_feature_size)),
+        jnp.float32,
+    )
+    caps = jnp.ones((B, cfg.max_words), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), frames, regions, caps)["params"]
+
+    decode_repl = make_decode_fn(model, cfg, beam_size=cfg.beam_size)
+    ids_repl = np.asarray(decode_repl({"params": params}, frames, regions))
+
+    sharded = shard_params(params, mesh)
+    decode_tp = make_decode_fn(model, cfg, beam_size=cfg.beam_size, mesh=mesh)
+    ids_tp = np.asarray(decode_tp({"params": sharded}, frames, regions))
+    np.testing.assert_array_equal(ids_tp, ids_repl)
