@@ -64,7 +64,9 @@ def gradient_penalty(
     mixed = real * eps + fake * (1.0 - eps)
     # grad_outputs=ones <=> gradient of sum(D(mixed)) w.r.t. mixed
     grads = jax.grad(lambda m: jnp.sum(d_fn(m)))(mixed)
-    grads = grads.reshape(grads.shape[0], -1)
+    # accumulate the norm in fp32 (inputs may be bf16 under gan_caps_bf16;
+    # a bf16 sum over ~260k squares loses the norm entirely)
+    grads = grads.reshape(grads.shape[0], -1).astype(jnp.float32)
     norm = jnp.linalg.norm(grads, axis=1)
     return jnp.mean((norm - 1.0) ** 2)
 
@@ -92,19 +94,20 @@ def make_gradient_penalty_rof(apply_fn: Callable):
     @jax.custom_vjp
     def gp(dparams, mixed):
         g = jax.grad(lambda m: jnp.sum(apply_fn(dparams, m)))(mixed)
-        gn = g.reshape(g.shape[0], -1)
+        gn = g.reshape(g.shape[0], -1).astype(jnp.float32)  # fp32 norm accum
         norm = jnp.linalg.norm(gn, axis=1)
         return jnp.mean((norm - 1.0) ** 2)
 
     def fwd(dparams, mixed):
         g = jax.grad(lambda m: jnp.sum(apply_fn(dparams, m)))(mixed)
         B = g.shape[0]
-        gn = g.reshape(B, -1)
+        gn = g.reshape(B, -1).astype(jnp.float32)  # fp32 norm accum
         norm = jnp.linalg.norm(gn, axis=1)
         val = jnp.mean((norm - 1.0) ** 2)
-        # u = d(gp)/d(g): (2/B) * (norm-1)/norm * g, rowwise
+        # u = d(gp)/d(g): (2/B) * (norm-1)/norm * g, rowwise; cast back to
+        # the primal dtype (jvp requires tangent dtype == primal dtype)
         coef = (2.0 / B) * (norm - 1.0) / jnp.maximum(norm, 1e-12)
-        u = (coef[:, None] * gn).reshape(g.shape)
+        u = (coef[:, None] * gn).reshape(g.shape).astype(g.dtype)
         return val, (dparams, mixed, u)
 
     def bwd(res, cot):
