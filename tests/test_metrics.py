@@ -118,6 +118,72 @@ def test_meteor_synonym_stage_by_default():
     assert with_syn > 0.8
 
 
+def test_meteor_aligner_optimal_vs_bruteforce():
+    """On tiny sentences, the beam-40 aligner must find the EXACT optimum of
+    METEOR's lexicographic objective (max matched words, min chunks, min
+    start-distance) — verified against exhaustive enumeration of all
+    one-to-one word matchings (word stages only, duplicated words included:
+    the ambiguity that defeats greedy matchers)."""
+    import itertools
+    import random
+
+    from dlsg_tpu.metrics.meteor import (
+        _align,
+        _count_chunks,
+        _match_stage,
+        get_paraphrase_table,
+        get_synonym_table,
+        set_phrase_table,
+    )
+
+    def brute_force(hyp, ref):
+        syn, para = get_synonym_table(), get_paraphrase_table()
+        cands = [
+            [(j, s) for j in range(len(ref))
+             if (s := _match_stage(hyp[i], ref[j], syn, para)) >= 0]
+            for i in range(len(hyp))
+        ]
+        best = None
+        # enumerate every subset of hyp positions x injective ref assignment
+        def rec(i, used, matches):
+            nonlocal best
+            if i == len(hyp):
+                ml = tuple(matches)
+                words = 2 * len(ml)
+                chunks = _count_chunks(list(ml))
+                dist = sum(abs(a - b) for a, b, _, _, _ in ml)
+                key = (-words, chunks, dist, ml)
+                if best is None or key < best:
+                    best = key
+                return
+            rec(i + 1, used, matches)  # hyp[i] unmatched
+            for j, s in cands[i]:
+                if j not in used:
+                    rec(i + 1, used | {j}, matches + [(i, j, 1, 1, s)])
+        rec(0, frozenset(), [])
+        return best
+
+    rng = random.Random(11)
+    vocab = ["a", "man", "dog", "runs", "plays", "the"]
+    set_phrase_table({})  # word stages only (brute force enumerates words)
+    try:
+        for _ in range(40):
+            hyp = [rng.choice(vocab) for _ in range(rng.randint(1, 6))]
+            ref = [rng.choice(vocab) for _ in range(rng.randint(1, 6))]
+            got = _align(hyp, ref)
+            words = 2 * len(got)
+            key_got = (
+                -words,
+                _count_chunks(got),
+                sum(abs(a - b) for a, b, _, _, _ in got),
+                tuple(got),
+            )
+            key_opt = brute_force(hyp, ref)
+            assert key_got == key_opt, (hyp, ref, key_got, key_opt)
+    finally:
+        set_phrase_table(None)
+
+
 def test_meteor_aligner_minimizes_chunks():
     """The beam aligner must prefer the 1-chunk alignment when a duplicated
     ref word offers an equal-cardinality but fragmented alternative — the
