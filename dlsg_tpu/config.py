@@ -179,7 +179,11 @@ class DLSGConfig:
     # end early (real data: mean ~8 of 26 steps); single-device eval only.
     decode_two_pass_t1: int = 0
     decode_two_pass_bucket: int = 0  # 0 -> batch//4
-    mesh_data_axis: int = -1  # -1 = use all devices for data parallelism
+    # mesh layout consumed by the CLI and all trainers: data x model axes
+    # (model > 1 column-shards the vocab head + its Adam moments —
+    # parallel/mesh.py TP_RULES/shard_train_state). -1 data = all remaining
+    # devices. Batches must divide by the data axis (trainer asserts).
+    mesh_data_axis: int = -1
     mesh_model_axis: int = 1
     log_every: int = 10  # run_gun.py:236 prints every 10 steps
 
