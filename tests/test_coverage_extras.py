@@ -113,3 +113,27 @@ def test_cli_evaluate_synthetic(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "CIDEr" in out and "Bleu_4" in out and "inference time" in out
+
+
+def test_packaging_console_script_target():
+    """pyproject.toml's console script must point at an importable callable.
+
+    The reference exposes its entries as bare scripts (train_gan.py,
+    run_gun.py); the rebuild is pip-installable with a `dlsg-tpu` console
+    script — pin the entry-point target so a pyproject refactor can't
+    silently break `pip install dlsg-tpu && dlsg-tpu train ...`.
+    """
+    import importlib
+    import pathlib
+    import tomllib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    meta = tomllib.loads((root / "pyproject.toml").read_text())
+    scripts = meta["project"]["scripts"]
+    assert "dlsg-tpu" in scripts
+    mod_name, func_name = scripts["dlsg-tpu"].split(":")
+    fn = getattr(importlib.import_module(mod_name), func_name)
+    assert callable(fn)
+    # the curated METEOR tables must ship in the wheel
+    pkg_data = meta["tool"]["setuptools"]["package-data"]
+    assert "data/*.txt" in pkg_data["dlsg_tpu.metrics"]
