@@ -288,5 +288,34 @@ def main():
             print(f"train bench failed: {type(e).__name__}: {e}", file=sys.stderr)
 
 
+def _retry_unavailable(exc: BaseException) -> None:
+    """Re-exec on a relay-unavailable backend error (fresh process required).
+
+    A dead TPU session grant takes ~5 min to release (CLAUDE.md); jax caches
+    the failed backend for the life of the process, so the only way to retry
+    the attach is a fresh interpreter. Carry the *remaining* wall budget in
+    DLSG_BENCH_BUDGET_S so the watchdog deadline stays aligned with the
+    driver's timeout across the exec.
+    """
+    msg = f"{type(exc).__name__}: {exc}"
+    if "UNAVAILABLE" not in msg and "Unavailable" not in msg:
+        raise exc
+    wait_s = 150.0
+    if _best_result or _remaining() < wait_s + TRAIN_MIN_REMAINING_S / 2:
+        print(f"bench: backend unavailable, not retrying ({msg[:200]})",
+              file=sys.stderr, flush=True)
+        raise exc
+    print(f"bench: backend unavailable, re-exec in {wait_s:.0f}s ({msg[:200]})",
+          file=sys.stderr, flush=True)
+    time.sleep(wait_s)
+    os.environ["DLSG_BENCH_BUDGET_S"] = str(max(_remaining(), 60.0))
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
+
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 - single retry point for relay flake
+        _retry_unavailable(e)

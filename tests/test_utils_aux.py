@@ -67,3 +67,29 @@ def test_parse_opt_tuple_range_flags():
     # defaults intact when not passed
     cfg2 = parse_opt(["--dataset", "msr-vtt"])
     assert cfg2.test_range == (7010, 10000)
+
+
+def test_bench_retry_guard():
+    """bench._retry_unavailable must only re-exec on relay-unavailable errors.
+
+    The re-exec branch can't run under pytest (it would replace the test
+    process); pin the guard conditions instead: non-unavailable errors and
+    already-emitted results re-raise immediately.
+    """
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        bench._retry_unavailable(ValueError("some other failure"))
+
+    # a result was already emitted -> never re-exec, surface the error
+    bench._best_result["metric"] = "x"
+    try:
+        with pytest.raises(RuntimeError):
+            bench._retry_unavailable(RuntimeError("UNAVAILABLE: TPU backend"))
+    finally:
+        bench._best_result.clear()
