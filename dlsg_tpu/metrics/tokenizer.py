@@ -72,7 +72,10 @@ def ptb_tokenize_line(line: str, lowercase: bool = True) -> List[str]:
     # brackets -> PTB symbols
     for src, dst in [
         ("(", " -LRB- "), (")", " -RRB- "), ("{", " -LCB- "), ("}", " -RCB- "),
-        ("[", " -LRB- "), ("]", " -RRB- "),
+        # corenlp's PTB3 normalization gives square brackets their OWN tokens
+        # (-LSB-/-RSB-), which coco's removal list (ptbtokenizer.py:21-22)
+        # does NOT include — so [..] survives punctuation removal at the jar.
+        ("[", " -LSB- "), ("]", " -RSB- "),
     ]:
         s = s.replace(src, dst)
 

@@ -50,8 +50,8 @@ std::string ptb_tokenize(const std::string& line, bool lowercase) {
   s = replace_all(s, ")", " -RRB- ");
   s = replace_all(s, "{", " -LCB- ");
   s = replace_all(s, "}", " -RCB- ");
-  s = replace_all(s, "[", " -LRB- ");
-  s = replace_all(s, "]", " -RRB- ");
+  s = replace_all(s, "[", " -LSB- ");  // corenlp PTB3: square brackets get their own tokens
+  s = replace_all(s, "]", " -RSB- ");
 
   // double quotes: opening after start/space -> ``, else '' (the check reads
   // the ORIGINAL string, like python's re.sub left-to-right scan)
