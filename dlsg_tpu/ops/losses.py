@@ -174,7 +174,7 @@ def wgan_d_loss_fused(
     f_loss = jnp.mean(scores[B : 2 * B])
     cot = jnp.zeros_like(scores).at[2 * B :].set(1.0)
     (gcaps,) = vjp(cot)
-    grads = gcaps[2 * B :].reshape(B, -1)
+    grads = gcaps[2 * B :].reshape(B, -1).astype(jnp.float32)  # fp32 norm accum
     norm = jnp.linalg.norm(grads, axis=1)
     gp = jnp.mean((norm - 1.0) ** 2)
     loss = f_loss - r_loss + gp_weight * gp

@@ -12,6 +12,8 @@ import os
 
 import numpy as np
 
+_WARNED_NO_MPL = False
+
 
 def plot_alpha_all(
     alpha_all: np.ndarray,
@@ -22,8 +24,19 @@ def plot_alpha_all(
     step: int,
     vid: int,
 ) -> str:
-    """alpha_all: [B, T, 2*num_psl] decoder attention. Writes a PNG, returns path."""
-    import matplotlib
+    """alpha_all: [B, T, 2*num_psl] decoder attention.
+
+    Writes a PNG and returns its path; returns "" (with a one-time warning)
+    when matplotlib is unavailable, so a plot-less install can still train.
+    """
+    try:
+        import matplotlib
+    except ImportError:
+        global _WARNED_NO_MPL
+        if not _WARNED_NO_MPL:
+            _WARNED_NO_MPL = True
+            print("plots: matplotlib not installed — skipping attention heatmaps")
+        return ""
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt

@@ -125,7 +125,8 @@ def test_packaging_console_script_target():
     """
     import importlib
     import pathlib
-    import tomllib
+
+    tomllib = pytest.importorskip("tomllib")  # stdlib from 3.11 (= requires-python)
 
     root = pathlib.Path(__file__).resolve().parents[1]
     meta = tomllib.loads((root / "pyproject.toml").read_text())
