@@ -6,6 +6,11 @@ Replaces the reference's entry scripts with one CLI:
 - `python -m dlsg_tpu.cli train-base`   <- train.py (CE baseline)
 - `python -m dlsg_tpu.cli train-legacy` <- run.py (frames-only CapModel)
 - `python -m dlsg_tpu.cli evaluate`     <- evaluate.py __main__ (standalone eval)
+- `python -m dlsg_tpu.cli serve`        (no reference equivalent) caption the
+  test set's feature clips with a trained checkpoint and print one JSON line
+  per video ({"video_id", "caption"}) — inference as a product, no scoring.
+  `--greedy` uses greedy decode; `--fast` enables the approximate-top-k beam
+  (serve.Captioner's documented latency trade).
 
 All reference flags (`utils/opt.py`) are accepted. No `torch.distributed.launch`
 wrapper is needed: a single process drives all local TPU chips through the mesh;
@@ -23,7 +28,11 @@ import sys
 import jax
 
 
-def _build_datasets(cfg, synthetic: bool, synthetic_videos: int = 32):
+def _build_datasets(
+    cfg, synthetic: bool, synthetic_videos: int = 32, eval_only: bool = False
+):
+    """eval_only skips the caption training set and the reference file —
+    `serve` needs only the eval features + vocab (no scoring)."""
     if synthetic:
         from dlsg_tpu.data.synthetic import SyntheticDataset, make_vocab
 
@@ -34,14 +43,43 @@ def _build_datasets(cfg, synthetic: bool, synthetic_videos: int = 32):
         return vocab, train_ds, eval_ds, reference
 
     from dlsg_tpu.data.datasets import CaptionDataset, EvalVideoDataset
-    from dlsg_tpu.metrics.scorer import load_references_txt
     from dlsg_tpu.vocab import Vocabulary
 
     vocab = Vocabulary.load_reference_pkl(cfg.vocab_pkl_path)
-    train_ds = CaptionDataset(cfg)
     eval_ds = EvalVideoDataset(cfg)
+    if eval_only:
+        return vocab, None, eval_ds, None
+
+    from dlsg_tpu.metrics.scorer import load_references_txt
+
+    train_ds = CaptionDataset(cfg)
     reference = load_references_txt(cfg.test_reference_txt_path)
     return vocab, train_ds, eval_ds, reference
+
+
+def _load_generator_params(cfg, vocab, extra_ns):
+    """Init CapGnnModel params and overwrite from --torch_checkpoint /
+    --metric (shared by `evaluate` and `serve`; cfg must be post-overrides)."""
+    import jax.numpy as jnp
+
+    from dlsg_tpu import checkpoint as ckpt
+    from dlsg_tpu.models.generator import CapGnnModel
+
+    model = CapGnnModel(cfg, len(vocab))
+    B = cfg.test_batch_size
+    frames = jnp.zeros((B, cfg.max_frames, cfg.feature_size))
+    regions = jnp.zeros((B, cfg.max_frames, cfg.num_obj, cfg.region_feature_size))
+    caps = jnp.zeros((B, cfg.max_words), jnp.int32)
+    params = model.init(jax.random.PRNGKey(cfg.seed), frames, regions, caps)["params"]
+    if extra_ns.torch_checkpoint:
+        from dlsg_tpu.convert import load_reference_checkpoint
+
+        params = load_reference_checkpoint(extra_ns.torch_checkpoint, cfg)[
+            "generator"
+        ]["params"]
+    elif extra_ns.metric:
+        params = ckpt.restore_model(cfg.checkpoint_dir, extra_ns.metric, params)
+    return model, params
 
 
 def main(argv=None):
@@ -78,6 +116,14 @@ def main(argv=None):
         "--distributed", action="store_true",
         help="multi-host: jax.distributed.initialize() from cluster env vars",
     )
+    extra.add_argument(
+        "--greedy", action="store_true", help="serve: greedy decode instead of beam"
+    )
+    extra.add_argument(
+        "--fast", action="store_true",
+        help="serve: approximate-top-k beam (Captioner fast profile, -8.5%% "
+        "latency at 99.97%% token agreement)",
+    )
     extra_ns, cfg_argv = extra.parse_known_args(rest)
     if extra_ns.distributed:
         jax.distributed.initialize()
@@ -94,7 +140,8 @@ def main(argv=None):
     else:
         mesh = None
     vocab, train_ds, eval_ds, reference = _build_datasets(
-        cfg, extra_ns.synthetic, extra_ns.synthetic_videos
+        cfg, extra_ns.synthetic, extra_ns.synthetic_videos,
+        eval_only=(command == "serve"),
     )
     # multi-host: each process loads a disjoint per-host data shard; the
     # jitted steps consume the globally-assembled batch (parallel/mesh.py
@@ -143,19 +190,13 @@ def main(argv=None):
         runner.train(**shards)
         return 0
 
-    if command == "evaluate":
-        import jax.numpy as jnp
-
-        from dlsg_tpu import checkpoint as ckpt
+    if command in ("evaluate", "serve"):
         from dlsg_tpu.config import apply_dataset_overrides
-        from dlsg_tpu.data.loader import eval_batches
-        from dlsg_tpu.evaluation.evaluate import evaluate, make_decode_fn
-        from dlsg_tpu.models.generator import CapGnnModel
 
         if (not extra_ns.metric and not extra_ns.torch_checkpoint
                 and not extra_ns.allow_random_params):
             print(
-                "evaluate: no --metric given — this would score a RANDOMLY "
+                f"{command}: no --metric given — this would run a RANDOMLY "
                 "INITIALIZED model. Pass --metric best_CIDEr (or another saved "
                 "checkpoint name), or --allow_random_params to force.",
                 file=sys.stderr,
@@ -163,20 +204,31 @@ def main(argv=None):
             return 2
 
         cfg = apply_dataset_overrides(cfg)
-        model = CapGnnModel(cfg, len(vocab))
-        B = cfg.test_batch_size
-        frames = jnp.zeros((B, cfg.max_frames, cfg.feature_size))
-        regions = jnp.zeros((B, cfg.max_frames, cfg.num_obj, cfg.region_feature_size))
-        caps = jnp.zeros((B, cfg.max_words), jnp.int32)
-        params = model.init(jax.random.PRNGKey(cfg.seed), frames, regions, caps)["params"]
-        if extra_ns.torch_checkpoint:
-            from dlsg_tpu.convert import load_reference_checkpoint
+        model, params = _load_generator_params(cfg, vocab, extra_ns)
 
-            params = load_reference_checkpoint(extra_ns.torch_checkpoint, cfg)[
-                "generator"
-            ]["params"]
-        elif extra_ns.metric:
-            params = ckpt.restore_model(cfg.checkpoint_dir, extra_ns.metric, params)
+    if command == "serve":
+        import json
+
+        import numpy as np
+
+        from dlsg_tpu.data.loader import eval_batches
+        from dlsg_tpu.serve import Captioner
+
+        captioner = Captioner.from_params(cfg, vocab, params, fast=extra_ns.fast)
+        for batch in eval_batches(
+            eval_ds, cfg.test_batch_size, pad_to_full=False, **shards
+        ):
+            sentences = captioner.caption(
+                batch["frames"], batch["regions"], greedy=extra_ns.greedy
+            )
+            for vid, sent in zip(np.asarray(batch["video_ids"]), sentences):
+                print(json.dumps({"video_id": int(vid), "caption": sent}))
+        return 0
+
+    if command == "evaluate":
+        from dlsg_tpu.data.loader import eval_batches
+        from dlsg_tpu.evaluation.evaluate import evaluate, make_decode_fn
+
         if mesh is not None and jax.process_count() > 1:
             from dlsg_tpu.parallel.mesh import make_mesh as _mm
 

@@ -138,3 +138,33 @@ def test_packaging_console_script_target():
     # the curated METEOR tables must ship in the wheel
     pkg_data = meta["tool"]["setuptools"]["package-data"]
     assert "data/*.txt" in pkg_data["dlsg_tpu.metrics"]
+
+
+def test_cli_serve_synthetic(tmp_path, capsys):
+    """`serve`: caption the eval features, one JSON line per video (no scoring)."""
+    import json
+
+    from dlsg_tpu.cli import main
+
+    rc = main([
+        "serve", "--synthetic", "--allow_random_params", "--synthetic_videos", "6",
+        "--greedy",
+        "--train_batch_size", "4", "--test_batch_size", "4", "--beam_size", "2",
+        "--visual_hidden_size", "32", "--region_projected_size", "32",
+        "--query_hidden_size", "32", "--word_size", "16",
+        "--a_feature_size", "24", "--m_feature_size", "12",
+        "--max_frames", "6", "--max_words", "8",
+        "--result_dir", str(tmp_path),
+    ])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    recs = [json.loads(l) for l in lines]
+    assert sorted(r["video_id"] for r in recs) == list(range(6))
+    assert all(isinstance(r["caption"], str) for r in recs)
+
+
+def test_cli_serve_requires_checkpoint_or_flag(capsys):
+    from dlsg_tpu.cli import main
+
+    rc = main(["serve", "--synthetic"])
+    assert rc == 2
