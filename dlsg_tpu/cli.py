@@ -120,6 +120,13 @@ def main(argv=None):
         "--greedy", action="store_true", help="serve: greedy decode instead of beam"
     )
     extra.add_argument(
+        "--features", type=str, default=None,
+        help="serve: caption an .npz of pre-extracted features (arrays "
+        "'frames' [N,max_frames,feature_size] and 'regions' "
+        "[N,max_frames,>=num_obj,region_feature_size]; optional 'video_ids') "
+        "instead of the dataset's eval split",
+    )
+    extra.add_argument(
         "--fast", action="store_true",
         help="serve: approximate-top-k beam (Captioner fast profile, -8.5%% "
         "latency at 99.97%% token agreement)",
@@ -139,10 +146,22 @@ def main(argv=None):
         mesh = make_mesh(n_data=cfg.mesh_data_axis, n_model=cfg.mesh_model_axis)
     else:
         mesh = None
-    vocab, train_ds, eval_ds, reference = _build_datasets(
-        cfg, extra_ns.synthetic, extra_ns.synthetic_videos,
-        eval_only=(command == "serve"),
-    )
+    if command == "serve" and extra_ns.features:
+        # captioning arbitrary pre-extracted features: no dataset files needed
+        if extra_ns.synthetic:
+            from dlsg_tpu.data.synthetic import make_vocab
+
+            vocab = make_vocab()
+        else:
+            from dlsg_tpu.vocab import Vocabulary
+
+            vocab = Vocabulary.load_reference_pkl(cfg.vocab_pkl_path)
+        train_ds = eval_ds = reference = None
+    else:
+        vocab, train_ds, eval_ds, reference = _build_datasets(
+            cfg, extra_ns.synthetic, extra_ns.synthetic_videos,
+            eval_only=(command == "serve"),
+        )
     # multi-host: each process loads a disjoint per-host data shard; the
     # jitted steps consume the globally-assembled batch (parallel/mesh.py
     # globalize_batch / data/prefetch.py). Single process: (1, 0) no-op.
@@ -215,14 +234,25 @@ def main(argv=None):
         from dlsg_tpu.serve import Captioner
 
         captioner = Captioner.from_params(cfg, vocab, params, fast=extra_ns.fast)
-        for batch in eval_batches(
-            eval_ds, cfg.test_batch_size, pad_to_full=False, **shards
-        ):
-            sentences = captioner.caption(
-                batch["frames"], batch["regions"], greedy=extra_ns.greedy
-            )
-            for vid, sent in zip(np.asarray(batch["video_ids"]), sentences):
+
+        def emit(frames, regions, video_ids):
+            sentences = captioner.caption(frames, regions, greedy=extra_ns.greedy)
+            for vid, sent in zip(np.asarray(video_ids), sentences):
                 print(json.dumps({"video_id": int(vid), "caption": sent}))
+
+        if extra_ns.features:
+            data = np.load(extra_ns.features)
+            frames, regions = data["frames"], data["regions"]
+            vids = (
+                data["video_ids"] if "video_ids" in data
+                else np.arange(frames.shape[0])
+            )
+            emit(frames, regions, vids)
+        else:
+            for batch in eval_batches(
+                eval_ds, cfg.test_batch_size, pad_to_full=False, **shards
+            ):
+                emit(batch["frames"], batch["regions"], batch["video_ids"])
         return 0
 
     if command == "evaluate":

@@ -168,3 +168,37 @@ def test_cli_serve_requires_checkpoint_or_flag(capsys):
 
     rc = main(["serve", "--synthetic"])
     assert rc == 2
+
+
+def test_cli_serve_npz_features(tmp_path, capsys):
+    """serve --features: caption arbitrary pre-extracted clips (no dataset)."""
+    import json
+
+    from dlsg_tpu.cli import main
+    from dlsg_tpu.config import apply_dataset_overrides, parse_opt
+
+    flags = [
+        "--train_batch_size", "4", "--test_batch_size", "4", "--beam_size", "2",
+        "--visual_hidden_size", "32", "--region_projected_size", "32",
+        "--query_hidden_size", "32", "--word_size", "16",
+        "--a_feature_size", "24", "--m_feature_size", "12",
+        "--max_frames", "6", "--max_words", "8",
+    ]
+    cfg = apply_dataset_overrides(parse_opt(flags))
+    rng = np.random.default_rng(0)
+    npz = tmp_path / "clips.npz"
+    np.savez(
+        npz,
+        frames=rng.normal(size=(3, cfg.max_frames, cfg.feature_size)).astype(np.float32),
+        regions=rng.normal(
+            size=(3, cfg.max_frames, cfg.num_obj, cfg.region_feature_size)
+        ).astype(np.float32),
+        video_ids=np.array([7, 8, 9]),
+    )
+    rc = main([
+        "serve", "--synthetic", "--allow_random_params", "--greedy",
+        "--features", str(npz), *flags, "--result_dir", str(tmp_path),
+    ])
+    assert rc == 0
+    recs = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert [r["video_id"] for r in recs] == [7, 8, 9]
