@@ -120,6 +120,10 @@ def main(argv=None):
         "--greedy", action="store_true", help="serve: greedy decode instead of beam"
     )
     extra.add_argument(
+        "--output", type=str, default=None,
+        help="serve: write the JSON lines to this file instead of stdout",
+    )
+    extra.add_argument(
         "--features", type=str, default=None,
         help="serve: caption an .npz of pre-extracted features (arrays "
         "'frames' [N,max_frames,feature_size] and 'regions' "
@@ -233,26 +237,43 @@ def main(argv=None):
         from dlsg_tpu.data.loader import eval_batches
         from dlsg_tpu.serve import Captioner
 
+        import contextlib
+        import time
+
         captioner = Captioner.from_params(cfg, vocab, params, fast=extra_ns.fast)
+        n_done = 0
+        t0 = time.perf_counter()
+        with contextlib.ExitStack() as stack:
+            out = sys.stdout
+            if extra_ns.output:
+                out = stack.enter_context(open(extra_ns.output, "w"))
 
-        def emit(frames, regions, video_ids):
-            sentences = captioner.caption(frames, regions, greedy=extra_ns.greedy)
-            for vid, sent in zip(np.asarray(video_ids), sentences):
-                print(json.dumps({"video_id": int(vid), "caption": sent}))
+            def emit(frames, regions, video_ids):
+                nonlocal n_done
+                sentences = captioner.caption(frames, regions, greedy=extra_ns.greedy)
+                for vid, sent in zip(np.asarray(video_ids), sentences):
+                    out.write(json.dumps({"video_id": int(vid), "caption": sent}) + "\n")
+                n_done += len(sentences)
 
-        if extra_ns.features:
-            data = np.load(extra_ns.features)
-            frames, regions = data["frames"], data["regions"]
-            vids = (
-                data["video_ids"] if "video_ids" in data
-                else np.arange(frames.shape[0])
-            )
-            emit(frames, regions, vids)
-        else:
-            for batch in eval_batches(
-                eval_ds, cfg.test_batch_size, pad_to_full=False, **shards
-            ):
-                emit(batch["frames"], batch["regions"], batch["video_ids"])
+            if extra_ns.features:
+                data = np.load(extra_ns.features)
+                frames, regions = data["frames"], data["regions"]
+                vids = (
+                    data["video_ids"] if "video_ids" in data
+                    else np.arange(frames.shape[0])
+                )
+                emit(frames, regions, vids)
+            else:
+                for batch in eval_batches(
+                    eval_ds, cfg.test_batch_size, pad_to_full=False, **shards
+                ):
+                    emit(batch["frames"], batch["regions"], batch["video_ids"])
+        dt = time.perf_counter() - t0
+        print(
+            f"serve: {n_done} captions in {dt:.2f}s ({n_done / max(dt, 1e-9):.1f}/s, "
+            "incl. compile)",
+            file=sys.stderr,
+        )
         return 0
 
     if command == "evaluate":

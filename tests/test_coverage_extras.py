@@ -195,10 +195,13 @@ def test_cli_serve_npz_features(tmp_path, capsys):
         ).astype(np.float32),
         video_ids=np.array([7, 8, 9]),
     )
+    out_path = tmp_path / "captions.jsonl"
     rc = main([
         "serve", "--synthetic", "--allow_random_params", "--greedy",
-        "--features", str(npz), *flags, "--result_dir", str(tmp_path),
+        "--features", str(npz), "--output", str(out_path),
+        *flags, "--result_dir", str(tmp_path),
     ])
     assert rc == 0
-    recs = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert capsys.readouterr().out == ""  # JSONL went to --output, not stdout
+    recs = [json.loads(l) for l in out_path.read_text().splitlines() if l.strip()]
     assert [r["video_id"] for r in recs] == [7, 8, 9]
