@@ -86,11 +86,39 @@ def _watchdog() -> None:
             os._exit(3)
 
 
+# Device attach can also HANG (no exception) when the relay tunnel is dead —
+# observed as jax.devices() blocking >15 min. One stalled attach would burn
+# the whole budget, so a second watchdog re-execs a fresh interpreter (fresh
+# attach attempt) if the first device query hasn't succeeded by the deadline
+# and enough budget remains for another try.
+ATTACH_DEADLINE_S = float(os.environ.get("DLSG_BENCH_ATTACH_DEADLINE_S", "300"))
+_attach_done = threading.Event()
+
+
+def _attach_watchdog() -> None:
+    if _attach_done.wait(ATTACH_DEADLINE_S):
+        return
+    with _result_lock:
+        if _best_result:
+            return  # something already measured; let the budget watchdog rule
+    if _remaining() > ATTACH_DEADLINE_S + 120.0:
+        print(
+            f"bench: device attach stalled >{ATTACH_DEADLINE_S:.0f}s, re-exec "
+            f"({_remaining():.0f}s budget left)",
+            file=sys.stderr, flush=True,
+        )
+        os.environ["DLSG_BENCH_BUDGET_S"] = str(max(_remaining(), 60.0))
+        sys.stderr.flush()
+        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
+    # not enough budget for another attach — leave it to the budget watchdog
+
+
 # the watchdog must be live BEFORE `import jax`: the sitecustomize-registered
 # TPU plugin can block inside the import waiting on a relay session grant,
 # which would otherwise reproduce the rc=124/no-output driver failure
 if __name__ == "__main__":  # never arm the watchdog on a mere import
     threading.Thread(target=_watchdog, daemon=True).start()
+    threading.Thread(target=_attach_watchdog, daemon=True).start()
 
 import jax  # noqa: E402  (after watchdog scaffolding: import can be slow)
 import jax.numpy as jnp  # noqa: E402
@@ -241,6 +269,7 @@ def main():
         DLSGConfig(dataset="msr-vtt", compute_dtype=compute_dtype)
     )
     on_tpu = jax.devices()[0].platform != "cpu"
+    _attach_done.set()  # device attach succeeded — disarm the attach watchdog
     batch = 128 if on_tpu else 8
     vocab_size = 10000 if on_tpu else 512
 

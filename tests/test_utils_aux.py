@@ -93,3 +93,29 @@ def test_bench_retry_guard():
             bench._retry_unavailable(RuntimeError("UNAVAILABLE: TPU backend"))
     finally:
         bench._best_result.clear()
+
+
+def test_bench_attach_watchdog_guards():
+    """The attach watchdog must be a no-op once attach succeeded or a result
+    exists (the re-exec branch itself can't run under pytest)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    # attach already done -> returns immediately
+    bench._attach_done.set()
+    try:
+        bench._attach_watchdog()  # would hang/exec otherwise
+    finally:
+        bench._attach_done.clear()
+
+    # result already emitted -> returns without exec (use a tiny deadline)
+    old = bench.ATTACH_DEADLINE_S
+    bench.ATTACH_DEADLINE_S = 0.01
+    bench._best_result["metric"] = "x"
+    try:
+        bench._attach_watchdog()
+    finally:
+        bench._best_result.clear()
+        bench.ATTACH_DEADLINE_S = old
