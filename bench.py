@@ -336,6 +336,10 @@ def _retry_unavailable(exc: BaseException) -> None:
         raise exc
     print(f"bench: backend unavailable, re-exec in {wait_s:.0f}s ({msg[:200]})",
           file=sys.stderr, flush=True)
+    # disarm the attach watchdog: the attach FAILED (not hung), and this
+    # deliberate cooldown lets the ~5-min session grant release — an exec
+    # mid-sleep would retry into a still-held grant and waste the cycle
+    _attach_done.set()
     time.sleep(wait_s)
     os.environ["DLSG_BENCH_BUDGET_S"] = str(max(_remaining(), 60.0))
     sys.stdout.flush()

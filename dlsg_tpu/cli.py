@@ -150,6 +150,19 @@ def main(argv=None):
         mesh = make_mesh(n_data=cfg.mesh_data_axis, n_model=cfg.mesh_model_axis)
     else:
         mesh = None
+    if command in ("evaluate", "serve") and (
+        not extra_ns.metric and not extra_ns.torch_checkpoint
+        and not extra_ns.allow_random_params
+    ):
+        # fail BEFORE any vocab/dataset loading — the guard needs only flags
+        print(
+            f"{command}: no --metric given — this would run a RANDOMLY "
+            "INITIALIZED model. Pass --metric best_CIDEr (or another saved "
+            "checkpoint name), or --allow_random_params to force.",
+            file=sys.stderr,
+        )
+        return 2
+
     if command == "serve" and extra_ns.features:
         # captioning arbitrary pre-extracted features: no dataset files needed
         if extra_ns.synthetic:
@@ -216,16 +229,6 @@ def main(argv=None):
     if command in ("evaluate", "serve"):
         from dlsg_tpu.config import apply_dataset_overrides
 
-        if (not extra_ns.metric and not extra_ns.torch_checkpoint
-                and not extra_ns.allow_random_params):
-            print(
-                f"{command}: no --metric given — this would run a RANDOMLY "
-                "INITIALIZED model. Pass --metric best_CIDEr (or another saved "
-                "checkpoint name), or --allow_random_params to force.",
-                file=sys.stderr,
-            )
-            return 2
-
         cfg = apply_dataset_overrides(cfg)
         model, params = _load_generator_params(cfg, vocab, extra_ns)
 
@@ -240,7 +243,9 @@ def main(argv=None):
         import contextlib
         import time
 
-        captioner = Captioner.from_params(cfg, vocab, params, fast=extra_ns.fast)
+        captioner = Captioner.from_params(
+            cfg, vocab, params, fast=extra_ns.fast, mesh=mesh
+        )
         n_done = 0
         t0 = time.perf_counter()
         with contextlib.ExitStack() as stack:
@@ -250,9 +255,18 @@ def main(argv=None):
 
             def emit(frames, regions, video_ids):
                 nonlocal n_done
+                vids = np.asarray(video_ids)
+                if len(vids) != len(frames):
+                    raise ValueError(
+                        f"serve: {len(frames)} clips but {len(vids)} video_ids "
+                        "— refusing to caption misaligned inputs"
+                    )
                 sentences = captioner.caption(frames, regions, greedy=extra_ns.greedy)
-                for vid, sent in zip(np.asarray(video_ids), sentences):
-                    out.write(json.dumps({"video_id": int(vid), "caption": sent}) + "\n")
+                for vid, sent in zip(vids, sentences):
+                    v = vid.item() if hasattr(vid, "item") else vid
+                    v = int(v) if isinstance(v, (int, np.integer)) else str(v)
+                    out.write(json.dumps({"video_id": v, "caption": sent}) + "\n")
+                out.flush()  # bound a mid-run crash's loss to one batch
                 n_done += len(sentences)
 
             if extra_ns.features:

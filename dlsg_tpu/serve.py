@@ -36,7 +36,10 @@ class Captioner:
     parity contract, so the trade is explicit and per-instance.
     """
 
-    def __init__(self, cfg: DLSGConfig, vocab: Vocabulary, params, fast: bool = False):
+    def __init__(
+        self, cfg: DLSGConfig, vocab: Vocabulary, params, fast: bool = False,
+        mesh=None,
+    ):
         if fast:
             from dataclasses import replace
 
@@ -45,8 +48,13 @@ class Captioner:
         self.vocab = vocab
         self.model = CapGnnModel(self.cfg, len(vocab))
         self.variables = {"params": params}
-        self._beam_fn = make_decode_fn(self.model, self.cfg, beam_size=self.cfg.beam_size)
-        self._greedy_fn = make_decode_fn(self.model, self.cfg, beam_size=1)
+        # with a mesh, decode shards each bucket over the data axis (the
+        # decode wrapper pads to a data-axis multiple itself) — multi-chip
+        # serving throughput instead of decoding everything on device 0
+        self._beam_fn = make_decode_fn(
+            self.model, self.cfg, beam_size=self.cfg.beam_size, mesh=mesh
+        )
+        self._greedy_fn = make_decode_fn(self.model, self.cfg, beam_size=1, mesh=mesh)
         self._batch = self.cfg.test_batch_size
 
     @classmethod
@@ -57,6 +65,7 @@ class Captioner:
         ckpt_dir: Optional[str] = None,
         name: str = "best_CIDEr",
         fast: bool = False,
+        mesh=None,
     ) -> "Captioner":
         cfg2 = cfg
         model = CapGnnModel(cfg2, len(vocab))
@@ -66,13 +75,14 @@ class Captioner:
         caps = jnp.zeros((B, cfg2.max_words), jnp.int32)
         params = model.init(jax.random.PRNGKey(cfg2.seed), frames, regions, caps)["params"]
         params = ckpt.restore_model(ckpt_dir or cfg2.checkpoint_dir, name, params)
-        return cls(cfg, vocab, params, fast=fast)
+        return cls(cfg, vocab, params, fast=fast, mesh=mesh)
 
     @classmethod
     def from_params(
-        cls, cfg: DLSGConfig, vocab: Vocabulary, params, fast: bool = False
+        cls, cfg: DLSGConfig, vocab: Vocabulary, params, fast: bool = False,
+        mesh=None,
     ) -> "Captioner":
-        return cls(cfg, vocab, params, fast=fast)
+        return cls(cfg, vocab, params, fast=fast, mesh=mesh)
 
     # smallest compiled batch; buckets double from here up to test_batch_size
     MIN_BUCKET = 8

@@ -205,3 +205,48 @@ def test_cli_serve_npz_features(tmp_path, capsys):
     assert capsys.readouterr().out == ""  # JSONL went to --output, not stdout
     recs = [json.loads(l) for l in out_path.read_text().splitlines() if l.strip()]
     assert [r["video_id"] for r in recs] == [7, 8, 9]
+
+
+def test_cli_serve_npz_string_ids_and_mismatch(tmp_path, capsys):
+    """serve --features: string video_ids pass through verbatim (MSR-VTT-style
+    'video7001' names), and a frames/video_ids length mismatch is refused
+    instead of silently dropping captions."""
+    import json
+
+    import pytest
+
+    from dlsg_tpu.cli import main
+    from dlsg_tpu.config import apply_dataset_overrides, parse_opt
+
+    flags = [
+        "--train_batch_size", "4", "--test_batch_size", "4", "--beam_size", "2",
+        "--visual_hidden_size", "32", "--region_projected_size", "32",
+        "--query_hidden_size", "32", "--word_size", "16",
+        "--a_feature_size", "24", "--m_feature_size", "12",
+        "--max_frames", "6", "--max_words", "8",
+    ]
+    cfg = apply_dataset_overrides(parse_opt(flags))
+    rng = np.random.default_rng(1)
+    frames = rng.normal(size=(3, cfg.max_frames, cfg.feature_size)).astype(np.float32)
+    regions = rng.normal(
+        size=(3, cfg.max_frames, cfg.num_obj, cfg.region_feature_size)
+    ).astype(np.float32)
+
+    npz = tmp_path / "named.npz"
+    np.savez(npz, frames=frames, regions=regions,
+             video_ids=np.array(["video7001", "video7002", "video7003"]))
+    rc = main([
+        "serve", "--synthetic", "--allow_random_params", "--greedy",
+        "--features", str(npz), *flags, "--result_dir", str(tmp_path),
+    ])
+    assert rc == 0
+    recs = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert [r["video_id"] for r in recs] == ["video7001", "video7002", "video7003"]
+
+    bad = tmp_path / "misaligned.npz"
+    np.savez(bad, frames=frames, regions=regions, video_ids=np.array([1, 2]))
+    with pytest.raises(ValueError, match="video_ids"):
+        main([
+            "serve", "--synthetic", "--allow_random_params", "--greedy",
+            "--features", str(bad), *flags, "--result_dir", str(tmp_path),
+        ])

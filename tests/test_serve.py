@@ -74,6 +74,25 @@ def test_caption_ragged_and_multi_batch(captioner):
     assert sents == s2
 
 
+def test_meshed_captioner_matches_unmeshed(captioner):
+    """Captioner(mesh=...) shards each decode bucket over the data axis (the
+    multi-chip serving path cli `serve` uses); results are identical to the
+    single-device captioner — decode is batch-parallel with no collectives."""
+    from dlsg_tpu.parallel.mesh import make_mesh
+
+    cap, cfg, vocab = captioner
+    meshed = Captioner.from_params(
+        cfg, vocab, cap.variables["params"], mesh=make_mesh()
+    )
+    rng = np.random.default_rng(5)
+    frames = rng.normal(size=(5, cfg.max_frames, cfg.feature_size))
+    regions = rng.normal(size=(5, cfg.max_frames, cfg.num_obj, cfg.region_feature_size))
+    assert meshed.caption(frames, regions) == cap.caption(frames, regions)
+    assert meshed.caption(frames[:1], regions[:1], greedy=True) == cap.caption(
+        frames[:1], regions[:1], greedy=True
+    )
+
+
 def test_fast_profile_captions(captioner):
     """The fast serving profile (hardware approximate top-k) produces valid
     captions through the same API; on CPU the approx lowering is exact, so
