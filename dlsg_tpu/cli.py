@@ -135,6 +135,12 @@ def main(argv=None):
         help="serve: approximate-top-k beam (Captioner fast profile, -8.5%% "
         "latency at 99.97%% token agreement)",
     )
+    extra.add_argument(
+        "--listen", type=str, default=None, metavar="HOST:PORT",
+        help="serve: run a long-lived HTTP captioning service instead of a "
+        "batch run (GET /healthz, POST /caption with an .npz or JSON body "
+        "of frames/regions; see dlsg_tpu/server.py)",
+    )
     extra_ns, cfg_argv = extra.parse_known_args(rest)
     if extra_ns.distributed:
         jax.distributed.initialize()
@@ -163,8 +169,9 @@ def main(argv=None):
         )
         return 2
 
-    if command == "serve" and extra_ns.features:
-        # captioning arbitrary pre-extracted features: no dataset files needed
+    if command == "serve" and (extra_ns.features or extra_ns.listen):
+        # captioning arbitrary pre-extracted features (or serving over HTTP):
+        # no dataset files needed, only the vocab
         if extra_ns.synthetic:
             from dlsg_tpu.data.synthetic import make_vocab
 
@@ -238,7 +245,7 @@ def main(argv=None):
         import numpy as np
 
         from dlsg_tpu.data.loader import eval_batches
-        from dlsg_tpu.serve import Captioner
+        from dlsg_tpu.serve import Captioner, jsonable_id
 
         import contextlib
         import time
@@ -246,6 +253,24 @@ def main(argv=None):
         captioner = Captioner.from_params(
             cfg, vocab, params, fast=extra_ns.fast, mesh=mesh
         )
+        if extra_ns.listen:
+            from dlsg_tpu.server import CaptionServer
+
+            host, _, port = extra_ns.listen.rpartition(":")
+            server = CaptionServer(captioner, host or "0.0.0.0", int(port))
+            print(
+                f"serve: listening on {server.server_address[0]}:"
+                f"{server.server_address[1]} (POST /caption, GET /healthz)",
+                file=sys.stderr,
+            )
+            try:
+                server.serve_forever()
+            except KeyboardInterrupt:
+                pass
+            finally:
+                server.server_close()
+            return 0
+
         n_done = 0
         t0 = time.perf_counter()
         with contextlib.ExitStack() as stack:
@@ -263,9 +288,9 @@ def main(argv=None):
                     )
                 sentences = captioner.caption(frames, regions, greedy=extra_ns.greedy)
                 for vid, sent in zip(vids, sentences):
-                    v = vid.item() if hasattr(vid, "item") else vid
-                    v = int(v) if isinstance(v, (int, np.integer)) else str(v)
-                    out.write(json.dumps({"video_id": v, "caption": sent}) + "\n")
+                    out.write(json.dumps(
+                        {"video_id": jsonable_id(vid), "caption": sent}
+                    ) + "\n")
                 out.flush()  # bound a mid-run crash's loss to one batch
                 n_done += len(sentences)
 

@@ -26,6 +26,15 @@ from dlsg_tpu.models.generator import CapGnnModel
 from dlsg_tpu.vocab import Vocabulary
 
 
+def jsonable_id(vid):
+    """Normalize a video id (numpy scalar / str / int) for JSON output.
+
+    Integer ids stay integers; anything else passes through as a string —
+    MSR-VTT-style 'video7001' names must survive verbatim."""
+    v = vid.item() if hasattr(vid, "item") else vid
+    return int(v) if isinstance(v, (int, np.integer)) else str(v)
+
+
 class Captioner:
     """NB: `cfg` is taken as FINAL (apply_dataset_overrides yourself if you
     built it by hand; parse_opt already applies them).

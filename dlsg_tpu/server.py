@@ -1,0 +1,144 @@
+"""HTTP serving front-end over `serve.Captioner`.
+
+Beyond-parity: the reference has no serving story at all — its only inference
+path is the evaluation loop inside training (run_gun.py:269-281). This module
+turns a trained checkpoint into a long-lived captioning service: load once,
+then caption pre-extracted feature clips over HTTP. Stdlib-only
+(`http.server.ThreadingHTTPServer`) — no web-framework dependency.
+
+Protocol
+--------
+- ``GET /healthz`` -> ``{"status": "ok", "dataset", "devices", "beam_size"}``
+- ``POST /caption`` with either body format:
+
+  * ``application/x-npz`` (or any non-JSON type): an ``.npz`` payload with
+    arrays ``frames`` [N, max_frames, feature_size], ``regions``
+    [N, max_frames, >=num_obj, region_feature_size], optional ``video_ids``.
+  * ``application/json``: ``{"frames": [...], "regions": [...],
+    "video_ids": [...]}`` with nested lists.
+
+  Query string: ``?greedy=1`` selects greedy decode (default: beam).
+  Response: ``{"captions": [{"video_id": ..., "caption": ...}, ...],
+  "latency_s": t}``. Malformed payloads get a 400 with ``{"error": ...}``.
+
+Concurrency: request handling threads serialize around the device via one
+lock — the TPU is already batch-parallel inside a single decode call, so
+concurrent decodes would only interleave (and fragment) device work. Clients
+get throughput by batching clips per request, not by parallel requests.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import jax
+import numpy as np
+
+from dlsg_tpu.serve import Captioner, jsonable_id
+
+# one request must fit comfortably in host memory; 512 MB of features is
+# ~6700 MSR-VTT clips — far beyond one decode batch
+MAX_BODY_BYTES = 512 * 1024 * 1024
+
+
+def _parse_body(body: bytes, content_type: str):
+    """Decode a /caption payload -> (frames, regions, video_ids|None)."""
+    if "json" in content_type:
+        obj = json.loads(body.decode("utf-8"))
+        frames = np.asarray(obj["frames"], np.float32)
+        regions = np.asarray(obj["regions"], np.float32)
+        vids = obj.get("video_ids")
+        vids = None if vids is None else np.asarray(vids)
+    else:
+        data = np.load(io.BytesIO(body), allow_pickle=False)
+        frames, regions = data["frames"], data["regions"]
+        vids = data["video_ids"] if "video_ids" in data else None
+    if frames.ndim != 3 or regions.ndim != 4:
+        raise ValueError(
+            f"frames must be [N,T,F] and regions [N,T,O,R]; got "
+            f"{frames.shape} / {regions.shape}"
+        )
+    if frames.shape[0] != regions.shape[0]:
+        raise ValueError(
+            f"frames/regions batch mismatch: {frames.shape[0]} vs {regions.shape[0]}"
+        )
+    if vids is not None and len(vids) != frames.shape[0]:
+        raise ValueError(
+            f"{frames.shape[0]} clips but {len(vids)} video_ids"
+        )
+    return frames, regions, vids
+
+
+class CaptionServer(ThreadingHTTPServer):
+    """HTTP server bound to one Captioner. `port=0` picks a free port."""
+
+    daemon_threads = True
+
+    def __init__(self, captioner: Captioner, host: str = "0.0.0.0", port: int = 8000):
+        self.captioner = captioner
+        self.device_lock = threading.Lock()
+        super().__init__((host, port), _Handler)
+
+    def start_background(self) -> threading.Thread:
+        t = threading.Thread(target=self.serve_forever, daemon=True)
+        t.start()
+        return t
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server: CaptionServer
+
+    def log_message(self, fmt, *args):  # quiet by default; stderr is for errors
+        pass
+
+    def _send(self, code: int, payload: dict):
+        body = json.dumps(payload).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path.split("?")[0] != "/healthz":
+            return self._send(404, {"error": f"unknown path {self.path}"})
+        cap = self.server.captioner
+        self._send(200, {
+            "status": "ok",
+            "dataset": cap.cfg.dataset,
+            "devices": jax.device_count(),
+            "beam_size": cap.cfg.beam_size,
+        })
+
+    def do_POST(self):
+        path, _, query = self.path.partition("?")
+        if path != "/caption":
+            return self._send(404, {"error": f"unknown path {self.path}"})
+        try:
+            n = int(self.headers.get("Content-Length", "0"))
+            if not 0 < n <= MAX_BODY_BYTES:
+                return self._send(413 if n > MAX_BODY_BYTES else 400,
+                                  {"error": f"bad Content-Length {n}"})
+            body = self.rfile.read(n)
+            frames, regions, vids = _parse_body(
+                body, self.headers.get("Content-Type", "")
+            )
+        except Exception as e:  # noqa: BLE001 - malformed client payload -> 400
+            return self._send(400, {"error": f"{type(e).__name__}: {e}"})
+        if vids is None:
+            vids = np.arange(frames.shape[0])
+        greedy = "greedy=1" in query or "greedy=true" in query
+        t0 = time.perf_counter()
+        with self.server.device_lock:
+            sentences = self.server.captioner.caption(frames, regions, greedy=greedy)
+        self._send(200, {
+            "captions": [
+                {"video_id": jsonable_id(v), "caption": s}
+                for v, s in zip(vids, sentences)
+            ],
+            "latency_s": round(time.perf_counter() - t0, 4),
+        })

@@ -1,0 +1,133 @@
+"""HTTP captioning service tests (dlsg_tpu/server.py).
+
+The reference has no serving story; the HTTP layer is beyond-parity product
+surface, so the contract under test is our own protocol doc: npz and JSON
+bodies, ?greedy=1, id passthrough, 400s on malformed payloads."""
+
+import io
+import json
+import urllib.error
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dlsg_tpu.config import tiny_test_config
+from dlsg_tpu.data.synthetic import make_vocab
+from dlsg_tpu.models.generator import CapGnnModel
+from dlsg_tpu.serve import Captioner
+from dlsg_tpu.server import CaptionServer
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = tiny_test_config(test_batch_size=4, beam_size=2)
+    vocab = make_vocab()
+    model = CapGnnModel(cfg, len(vocab))
+    B = cfg.test_batch_size
+    frames = jnp.zeros((B, cfg.max_frames, cfg.feature_size))
+    regions = jnp.zeros((B, cfg.max_frames, cfg.num_obj, cfg.region_feature_size))
+    caps = jnp.zeros((B, cfg.max_words), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), frames, regions, caps)["params"]
+    cap = Captioner.from_params(cfg, vocab, params)
+    srv = CaptionServer(cap, host="127.0.0.1", port=0)  # port 0 -> free port
+    srv.start_background()
+    yield srv, cap, cfg
+    srv.shutdown()
+    srv.server_close()
+
+
+def _url(srv, path):
+    host, port = srv.server_address[:2]
+    return f"http://{host}:{port}{path}"
+
+
+def _post(srv, path, body, content_type):
+    req = urllib.request.Request(
+        _url(srv, path), data=body, headers={"Content-Type": content_type}
+    )
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def _clips(cfg, n, seed=0):
+    rng = np.random.default_rng(seed)
+    frames = rng.normal(size=(n, cfg.max_frames, cfg.feature_size)).astype(np.float32)
+    regions = rng.normal(
+        size=(n, cfg.max_frames, cfg.num_obj, cfg.region_feature_size)
+    ).astype(np.float32)
+    return frames, regions
+
+
+def test_healthz(server):
+    srv, cap, cfg = server
+    with urllib.request.urlopen(_url(srv, "/healthz"), timeout=60) as resp:
+        status, payload = resp.status, json.loads(resp.read())
+    assert status == 200
+    assert payload["status"] == "ok"
+    assert payload["beam_size"] == cfg.beam_size
+    assert payload["devices"] == jax.device_count()
+
+
+def test_caption_npz_body_matches_direct(server):
+    srv, cap, cfg = server
+    frames, regions = _clips(cfg, 3)
+    buf = io.BytesIO()
+    np.savez(buf, frames=frames, regions=regions,
+             video_ids=np.array(["video7001", "video7002", "video7003"]))
+    status, payload = _post(srv, "/caption", buf.getvalue(), "application/x-npz")
+    assert status == 200
+    assert [c["video_id"] for c in payload["captions"]] == [
+        "video7001", "video7002", "video7003"
+    ]
+    assert [c["caption"] for c in payload["captions"]] == cap.caption(frames, regions)
+    assert payload["latency_s"] > 0
+
+
+def test_caption_json_body_and_greedy(server):
+    srv, cap, cfg = server
+    frames, regions = _clips(cfg, 2, seed=1)
+    body = json.dumps(
+        {"frames": frames.tolist(), "regions": regions.tolist()}
+    ).encode()
+    status, payload = _post(srv, "/caption?greedy=1", body, "application/json")
+    assert status == 200
+    # no video_ids -> positional ints; greedy=1 -> greedy decode path
+    assert [c["video_id"] for c in payload["captions"]] == [0, 1]
+    assert [c["caption"] for c in payload["captions"]] == cap.caption(
+        frames, regions, greedy=True
+    )
+
+
+@pytest.mark.parametrize("body,ctype,frag", [
+    (b"not an npz", "application/x-npz", None),           # undecodable
+    (b'{"frames": [1]}', "application/json", "regions"),  # missing key
+])
+def test_caption_malformed_is_400(server, body, ctype, frag):
+    srv, cap, cfg = server
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(srv, "/caption", body, ctype)
+    assert ei.value.code == 400
+    err = json.loads(ei.value.read())["error"]
+    if frag:
+        assert frag in err
+
+
+def test_caption_mismatched_ids_is_400(server):
+    srv, cap, cfg = server
+    frames, regions = _clips(cfg, 3, seed=2)
+    buf = io.BytesIO()
+    np.savez(buf, frames=frames, regions=regions, video_ids=np.array([1, 2]))
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(srv, "/caption", buf.getvalue(), "application/x-npz")
+    assert ei.value.code == 400
+    assert "video_ids" in json.loads(ei.value.read())["error"]
+
+
+def test_unknown_path_is_404(server):
+    srv, cap, cfg = server
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(srv, "/nope", b"x", "application/json")
+    assert ei.value.code == 404
