@@ -36,8 +36,12 @@ ABBREVIATIONS = frozenset(
     dept. approx. min. max. sec. hr. a.m. p.m.
     mt. ave. blvd. rd. lt. col. maj. adm. sen. rep. pres. supt. det.
     jan. feb. mar. apr. jun. jul. aug. sept. oct. nov. dec.
-    est. fig. misc. vol. ch. pp. ed. univ. assn. bros. corp. mfg.""".split()
+    est. fig. misc. vol. ch. pp. ed. univ. assn. bros. corp. mfg. ph.d.""".split()
 )
+
+# single-letter acronyms with internal periods ("u.s.a.", "t.v.", "o.k.") are
+# single tokens at corenlp's PTBTokenizer — the trailing period stays attached
+_ACRONYM = re.compile(r"([a-z]\.){2,}")
 
 
 def ptb_tokenize_line(line: str, lowercase: bool = True) -> List[str]:
@@ -117,6 +121,7 @@ def ptb_tokenize_line(line: str, lowercase: bool = True) -> List[str]:
             and not all(c == "." for c in tok)
             and tok not in ABBREVIATIONS
             and not (len(tok) == 2 and tok[0].isalpha())
+            and not _ACRONYM.fullmatch(tok)
         ):
             toks.append(tok[:-1])
             toks.append(".")

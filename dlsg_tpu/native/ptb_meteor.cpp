@@ -236,7 +236,16 @@ std::string ptb_tokenize(const std::string& line, bool lowercase) {
       "rep.", "pres.", "supt.", "det.", "jan.", "feb.", "mar.", "apr.",
       "jun.", "jul.", "aug.", "sept.", "oct.", "nov.", "dec.", "est.",
       "fig.", "misc.", "vol.", "ch.", "pp.", "ed.", "univ.", "assn.",
-      "bros.", "corp.", "mfg."};
+      "bros.", "corp.", "mfg.", "ph.d."};
+  // single-letter acronyms with internal periods ("u.s.a.", "t.v.") are
+  // single tokens at corenlp — mirror tokenizer.py's _ACRONYM rule
+  auto is_acronym = [](const std::string& t) {
+    if (t.size() < 4 || t.size() % 2 != 0) return false;
+    for (size_t i = 0; i < t.size(); i += 2) {
+      if (!std::isalpha((unsigned char)t[i]) || t[i + 1] != '.') return false;
+    }
+    return true;
+  };
   std::istringstream iss(s);
   std::string tok, out;
   auto emit = [&out](const std::string& t) {
@@ -246,7 +255,8 @@ std::string ptb_tokenize(const std::string& line, bool lowercase) {
   while (iss >> tok) {
     bool all_dots = tok.find_first_not_of('.') == std::string::npos;
     if (tok.size() > 1 && tok.back() == '.' && !all_dots && !kAbbrev.count(tok) &&
-        !(tok.size() == 2 && std::isalpha((unsigned char)tok[0]))) {
+        !(tok.size() == 2 && std::isalpha((unsigned char)tok[0])) &&
+        !is_acronym(tok)) {
       emit(tok.substr(0, tok.size() - 1));
       emit(".");
     } else {
