@@ -141,6 +141,11 @@ def main(argv=None):
         "batch run (GET /healthz, POST /caption with an .npz or JSON body "
         "of frames/regions; see dlsg_tpu/server.py)",
     )
+    extra.add_argument(
+        "--warmup", action="store_true",
+        help="serve --listen: pre-compile every request bucket shape before "
+        "accepting traffic (first TPU compile is tens of seconds per shape)",
+    )
     extra_ns, cfg_argv = extra.parse_known_args(rest)
     if extra_ns.distributed:
         jax.distributed.initialize()
@@ -256,6 +261,14 @@ def main(argv=None):
         if extra_ns.listen:
             from dlsg_tpu.server import CaptionServer
 
+            if extra_ns.warmup:
+                t0 = time.perf_counter()
+                n_shapes = captioner.warmup(greedy=extra_ns.greedy)
+                print(
+                    f"serve: warmed {n_shapes} bucket shapes in "
+                    f"{time.perf_counter() - t0:.1f}s",
+                    file=sys.stderr,
+                )
             host, _, port = extra_ns.listen.rpartition(":")
             server = CaptionServer(captioner, host or "0.0.0.0", int(port))
             print(

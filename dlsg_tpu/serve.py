@@ -108,6 +108,35 @@ class Captioner:
             b *= 2
         return min(b, self._batch)
 
+    def bucket_sizes(self) -> List[int]:
+        """The bounded set of compiled batch shapes requests can land on."""
+        sizes, b = [], self.MIN_BUCKET
+        while b < self._batch:
+            sizes.append(b)
+            b *= 2
+        sizes.append(self._batch)
+        return sorted({min(s, self._batch) for s in sizes})
+
+    def warmup(self, greedy: bool = False) -> int:
+        """Pre-compile every bucket shape so no live request pays a compile.
+
+        First-compile on TPU is tens of seconds per shape — a cold serving
+        process would stall its first requests for minutes. Call this before
+        accepting traffic (cli `serve --listen --warmup` does). Returns the
+        number of shapes compiled; with `greedy`, warms the greedy decoder
+        instead of the beam."""
+        cfg = self.cfg
+        for b in self.bucket_sizes():
+            fr = np.zeros((b, cfg.max_frames, cfg.feature_size), np.float32)
+            rg = np.zeros(
+                (b, cfg.max_frames, cfg.num_obj, cfg.region_feature_size), np.float32
+            )
+            self.caption(fr, rg, greedy=greedy)
+        self.warm = True
+        return len(self.bucket_sizes())
+
+    warm = False  # flipped by warmup(); surfaced in the HTTP /healthz payload
+
     def caption(self, frames, regions, greedy: bool = False) -> List[str]:
         """Caption a batch of feature clips.
 

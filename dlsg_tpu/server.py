@@ -112,6 +112,7 @@ class _Handler(BaseHTTPRequestHandler):
             "dataset": cap.cfg.dataset,
             "devices": jax.device_count(),
             "beam_size": cap.cfg.beam_size,
+            "warm": cap.warm,
         })
 
     def do_POST(self):

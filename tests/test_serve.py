@@ -74,6 +74,31 @@ def test_caption_ragged_and_multi_batch(captioner):
     assert sents == s2
 
 
+def test_warmup_compiles_every_bucket():
+    """warmup() pre-compiles the full bucket set so no live request pays a
+    compile (the cold-start story for `serve --listen --warmup`)."""
+    cfg = tiny_test_config(test_batch_size=16, beam_size=2)
+    vocab = make_vocab()
+    model = CapGnnModel(cfg, len(vocab))
+    frames0 = jnp.zeros((2, cfg.max_frames, cfg.feature_size))
+    regions0 = jnp.zeros((2, cfg.max_frames, cfg.num_obj, cfg.region_feature_size))
+    caps0 = jnp.zeros((2, cfg.max_words), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), frames0, regions0, caps0)["params"]
+    cap = Captioner.from_params(cfg, vocab, params)
+
+    assert cap.bucket_sizes() == [8, 16]
+    assert not cap.warm
+    assert cap.warmup() == 2
+    assert cap.warm
+    assert cap._beam_fn._cache_size() == 2
+    # any request size now lands on an already-compiled shape
+    rng = np.random.default_rng(7)
+    frames = rng.normal(size=(5, cfg.max_frames, cfg.feature_size))
+    regions = rng.normal(size=(5, cfg.max_frames, cfg.num_obj, cfg.region_feature_size))
+    assert len(cap.caption(frames, regions)) == 5
+    assert cap._beam_fn._cache_size() == 2
+
+
 def test_meshed_captioner_matches_unmeshed(captioner):
     """Captioner(mesh=...) shards each decode bucket over the data axis (the
     multi-chip serving path cli `serve` uses); results are identical to the

@@ -69,6 +69,7 @@ def test_healthz(server):
     assert payload["status"] == "ok"
     assert payload["beam_size"] == cfg.beam_size
     assert payload["devices"] == jax.device_count()
+    assert payload["warm"] is False  # fixture never calls warmup()
 
 
 def test_caption_npz_body_matches_direct(server):
