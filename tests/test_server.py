@@ -127,6 +127,31 @@ def test_caption_mismatched_ids_is_400(server):
     assert "video_ids" in json.loads(ei.value.read())["error"]
 
 
+def test_concurrent_requests_all_succeed(server):
+    """Parallel clients serialize around the device lock; every request gets
+    its own correct captions (no cross-request state bleed)."""
+    import concurrent.futures
+
+    srv, cap, cfg = server
+    frames, regions = _clips(cfg, 2, seed=9)
+    expected = cap.caption(frames, regions, greedy=True)
+
+    def one(i):
+        body = json.dumps({
+            "frames": frames.tolist(), "regions": regions.tolist(),
+            "video_ids": [i * 10, i * 10 + 1],
+        }).encode()
+        status, payload = _post(srv, "/caption?greedy=1", body, "application/json")
+        return status, payload["captions"]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(one, range(4)))
+    for i, (status, caps) in enumerate(results):
+        assert status == 200
+        assert [c["video_id"] for c in caps] == [i * 10, i * 10 + 1]
+        assert [c["caption"] for c in caps] == expected
+
+
 def test_unknown_path_is_404(server):
     srv, cap, cfg = server
     with pytest.raises(urllib.error.HTTPError) as ei:
