@@ -142,11 +142,24 @@ def main(argv=None):
         "of frames/regions; see dlsg_tpu/server.py)",
     )
     extra.add_argument(
+        "--meteor_paraphrase_file", type=str, default=None, metavar="PATH",
+        help="score METEOR with an official paraphrase resource (meteor-1.5 "
+        "paraphrase-en.gz / raw PPDB / 'p1 ||| p2' pairs) instead of the "
+        "curated tables — closes the table-content delta to the jar when the "
+        "real data is available (metrics/meteor.py::load_paraphrase_file)",
+    )
+    extra.add_argument(
         "--warmup", action="store_true",
         help="serve --listen: pre-compile every request bucket shape before "
         "accepting traffic (first TPU compile is tens of seconds per shape)",
     )
     extra_ns, cfg_argv = extra.parse_known_args(rest)
+    if extra_ns.meteor_paraphrase_file:
+        # via the env var so every scoring site (standalone eval, in-training
+        # eval, serve) picks it up at its first Meteor() construction
+        import os
+
+        os.environ["DLSG_METEOR_PARAPHRASE_FILE"] = extra_ns.meteor_paraphrase_file
     if extra_ns.distributed:
         jax.distributed.initialize()
 

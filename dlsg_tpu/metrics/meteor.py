@@ -48,7 +48,11 @@ version is the always-available reference with identical behavior
 
 from __future__ import annotations
 
+import gzip
+import io
 import os
+import re
+import tempfile
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from dlsg_tpu.metrics.stemmer import porter2_stem
@@ -83,6 +87,9 @@ _SYN_CUSTOM = False  # a user-installed table replaces the shipped one
 _PARA_CUSTOM = False
 _PHRASE_CUSTOM = False
 _IS_DEFAULT_TABLE = True  # native fast path only valid with the shipped tables
+# load_paraphrase_file() mirrors its custom tables into the C++ aligner, which
+# re-validates the native fast path even though the tables are non-default
+_TABLES_NATIVE_SYNCED = False
 
 
 def _load_groups_file(path: str) -> Dict[str, frozenset]:
@@ -148,9 +155,13 @@ def set_synonym_table(table: Optional[Dict[str, Sequence[str]]]) -> None:
 
     Pass None to restore the shipped default; pass {} to disable stage 2.
     """
-    global _SYNONYM, _SYN_CUSTOM, _IS_DEFAULT_TABLE
+    global _SYNONYM, _SYN_CUSTOM, _IS_DEFAULT_TABLE, _TABLES_NATIVE_SYNCED
     _SYN_CUSTOM = table is not None
     _IS_DEFAULT_TABLE = not (_SYN_CUSTOM or _PARA_CUSTOM or _PHRASE_CUSTOM)
+    _TABLES_NATIVE_SYNCED = False
+    from dlsg_tpu import native
+
+    native.reload_default_tables()  # undo any mirrored custom tables
     _SYNONYM = None if table is None else {
         k: frozenset(v) for k, v in table.items()
     }
@@ -161,9 +172,13 @@ def set_paraphrase_table(table: Optional[Dict[str, Sequence[str]]]) -> None:
 
     Pass None to restore the shipped default; pass {} to disable stage 3.
     """
-    global _PARAPHRASE, _PARA_CUSTOM, _IS_DEFAULT_TABLE
+    global _PARAPHRASE, _PARA_CUSTOM, _IS_DEFAULT_TABLE, _TABLES_NATIVE_SYNCED
     _PARA_CUSTOM = table is not None
     _IS_DEFAULT_TABLE = not (_SYN_CUSTOM or _PARA_CUSTOM or _PHRASE_CUSTOM)
+    _TABLES_NATIVE_SYNCED = False
+    from dlsg_tpu import native
+
+    native.reload_default_tables()  # undo any mirrored custom tables
     _PARAPHRASE = None if table is None else {
         k: frozenset(v) for k, v in table.items()
     }
@@ -173,13 +188,175 @@ def set_phrase_table(table: Optional[Dict[str, Sequence[str]]]) -> None:
     """Install a custom stage-3 PHRASE table (phrase -> equivalent phrases,
     all space-joined word strings). None restores the shipped default; {}
     disables span matching."""
-    global _PHRASE, _PHRASE_CUSTOM, _IS_DEFAULT_TABLE
+    global _PHRASE, _PHRASE_CUSTOM, _IS_DEFAULT_TABLE, _TABLES_NATIVE_SYNCED
     _PHRASE_CUSTOM = table is not None
     _IS_DEFAULT_TABLE = not (_SYN_CUSTOM or _PARA_CUSTOM or _PHRASE_CUSTOM)
+    _TABLES_NATIVE_SYNCED = False
+    from dlsg_tpu import native
+
+    native.reload_default_tables()  # undo any mirrored custom tables
     _PHRASE = None if table is None else {
         " ".join(k.split()): frozenset(" ".join(x.split()) for x in v)
         for k, v in table.items()
     }
+
+
+def _open_maybe_gz(path: str):
+    """Open text, transparently gunzipping (sniffs the magic, not the name)."""
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    if magic == b"\x1f\x8b":
+        return io.TextIOWrapper(gzip.GzipFile(fileobj=f), encoding="utf-8",
+                                errors="replace")
+    return io.TextIOWrapper(f, encoding="utf-8", errors="replace")
+
+
+_PPDB_SCORE_RE = re.compile(r"PPDB(?:1\.0|2\.0)?Score=([-+0-9.eE]+)")
+
+
+def _parse_official_line(line: str) -> Optional[Tuple[str, str, Optional[float]]]:
+    """One line of an official paraphrase resource -> (phrase1, phrase2, score).
+
+    Accepted shapes (meteor-1.5's paraphrase-en.gz is built from PPDB and
+    distributed in the '|||' pair format; the jar itself ships no format spec,
+    so the parser is deliberately tolerant):
+
+    - ``p ||| phrase1 ||| phrase2`` / ``phrase1 ||| phrase2 ||| p`` /
+      ``phrase1 ||| phrase2`` — any '|||' line with exactly two non-numeric
+      fields; numeric fields are read as the pair score (min if several).
+    - raw PPDB: ``[LHS] ||| phrase1 ||| phrase2 ||| features ||| alignment``
+      (>=4 fields, bracketed first field) — score from the features'
+      ``PPDB2.0Score=``/``PPDB1.0Score=`` when present.
+    - ``phrase1 <TAB> phrase2 [<TAB> p]`` — tab-separated fallback.
+    """
+    if "|||" in line:
+        fields = [f.strip() for f in line.split("|||")]
+        if len(fields) >= 4 and fields[0][:1] == "[" and fields[0][-1:] == "]":
+            m = _PPDB_SCORE_RE.search(fields[3])
+            return fields[1], fields[2], (float(m.group(1)) if m else None)
+    elif "\t" in line:
+        fields = [f.strip() for f in line.split("\t")]
+    else:
+        return None
+    phrases, score = [], None
+    for f in fields:
+        if not f:
+            continue
+        try:
+            v = float(f)
+        except ValueError:
+            phrases.append(f)
+        else:
+            score = v if score is None else min(score, v)
+    if len(phrases) != 2:
+        return None
+    return phrases[0], phrases[1], score
+
+
+def load_paraphrase_file(path: str, min_score: Optional[float] = None) -> Dict[str, int]:
+    """Install an OFFICIAL paraphrase resource as the stage-3 tables.
+
+    The reference scores METEOR with meteor-1.5.jar + its ~1GB
+    ``paraphrase-en.gz`` (caption-eval/pycocoevalcap/meteor/meteor.py:12-23;
+    the data is not shipped — .MISSING_LARGE_BLOBS). When a user has the real
+    file (or a raw PPDB dump), this loads it in place of the curated
+    caption-domain tables, closing the remaining table-CONTENT delta to the
+    jar: single-word pairs go to the word-level paraphrase table, pairs with a
+    multi-word side to the phrase span table. The stage-2 synonym table is
+    untouched (a distinct WordNet-derived resource in METEOR).
+
+    ``min_score`` drops pairs whose score field (probability or PPDB score —
+    whatever the file carries) is below the threshold; pairs without a score
+    always load. The parsed tables are also mirrored into the native C++
+    aligner so the fast path stays active; if that fails (library unavailable)
+    scoring transparently uses the Python aligner.
+
+    Returns ``{"word_pairs": n, "phrase_pairs": n, "lines_skipped": n,
+    "native_synced": 0|1}``. Memory note: the full paraphrase-en.gz expands to
+    a few GB of Python dicts — the jar needed -Xmx2G for the same data.
+    """
+    global _TABLES_NATIVE_SYNCED
+    word: Dict[str, set] = {}
+    phrase: Dict[str, set] = {}
+    skipped = 0
+    with _open_maybe_gz(path) as f:
+        for line in f:
+            parsed = _parse_official_line(line.rstrip("\n"))
+            if parsed is None:
+                skipped += 1
+                continue
+            p1, p2, score = parsed
+            if min_score is not None and score is not None and score < min_score:
+                continue
+            # scoring tokenizes to lowercase; '#'/'|' would corrupt the table
+            # files mirrored to the C++ loader (comment / field separators)
+            p1 = " ".join(p1.lower().split())
+            p2 = " ".join(p2.lower().split())
+            if p1 == p2 or not p1 or not p2 or "#" in p1 + p2 or "|" in p1 + p2:
+                skipped += 1
+                continue
+            tgt = word if (" " not in p1 and " " not in p2) else phrase
+            tgt.setdefault(p1, set()).add(p2)
+            tgt.setdefault(p2, set()).add(p1)
+    set_paraphrase_table(word)
+    set_phrase_table(phrase)
+    n_word = sum(len(v) for v in word.values()) // 2
+    n_phrase = sum(len(v) for v in phrase.values()) // 2
+    synced = _sync_tables_to_native(word, phrase)
+    _TABLES_NATIVE_SYNCED = synced
+    return {
+        "word_pairs": n_word,
+        "phrase_pairs": n_phrase,
+        "lines_skipped": skipped,
+        "native_synced": int(synced),
+    }
+
+
+def _sync_tables_to_native(word: Dict[str, set], phrase: Dict[str, set]) -> bool:
+    """Mirror custom stage-3 tables into the C++ aligner (pair-per-line files
+    through its group loaders — 2-element groups are exactly symmetric pairs,
+    no transitive closure)."""
+    from dlsg_tpu import native
+
+    if not native.available():
+        return False
+    lib = native.load()
+    tmp = tempfile.mkdtemp(prefix="dlsg_meteor_tables_")
+    wpath = os.path.join(tmp, "paraphrases.txt")
+    ppath = os.path.join(tmp, "phrases.txt")
+    with open(wpath, "w") as f:
+        for a, eq in sorted(word.items()):
+            for b in sorted(eq):
+                if a < b:
+                    f.write(f"{a} {b}\n")
+    with open(ppath, "w") as f:
+        for a, eq in sorted(phrase.items()):
+            for b in sorted(eq):
+                if a < b:
+                    f.write(f"{a} ||| {b}\n")
+    ok = (lib.dlsg_meteor_load_paraphrases(wpath.encode()) >= 0
+          and lib.dlsg_meteor_load_phrases(ppath.encode()) >= 0)
+    if not ok:  # half-loaded native tables would diverge from Python: reset
+        lib.dlsg_meteor_load_paraphrases(_PARAPHRASES_PATH.encode())
+        lib.dlsg_meteor_load_phrases(_PHRASES_PATH.encode())
+    return ok
+
+
+_ENV_TABLE_VAR = "DLSG_METEOR_PARAPHRASE_FILE"
+_env_table_loaded: Optional[str] = None
+
+
+def maybe_load_env_tables() -> None:
+    """Honor $DLSG_METEOR_PARAPHRASE_FILE (idempotent per path): every scoring
+    entry point (Meteor()) calls this, so exporting the var routes ALL METEOR
+    scoring — cli evaluate, in-training eval, serve — through the official
+    table without code changes."""
+    global _env_table_loaded
+    path = os.environ.get(_ENV_TABLE_VAR)
+    if path and path != _env_table_loaded:
+        load_paraphrase_file(path)
+        _env_table_loaded = path
 
 
 def _table_match(h, r, hs, rs, table) -> bool:
@@ -381,8 +558,9 @@ def _segment_stats(
 ) -> SegmentStats:
     # native fast path: the C++ aligner implements the same beam search and
     # synonym table (tests/test_native.py asserts exact equivalence); only
-    # valid at default parameters with the shipped table
-    if params is _DEFAULT_PARAMS and _IS_DEFAULT_TABLE:
+    # valid at default parameters with the shipped tables — or with tables
+    # that load_paraphrase_file() mirrored into the C++ side
+    if params is _DEFAULT_PARAMS and (_IS_DEFAULT_TABLE or _TABLES_NATIVE_SYNCED):
         from dlsg_tpu import native
 
         st = native.meteor_stats(" ".join(hyp), " ".join(ref))
@@ -445,6 +623,7 @@ class Meteor:
     """coco-caption Meteor API (`meteor/meteor.py:15-84`), Java-free."""
 
     def __init__(self, params: MeteorParams = _DEFAULT_PARAMS):
+        maybe_load_env_tables()
         self.params = params
 
     def method(self) -> str:

@@ -76,20 +76,32 @@ def load() -> Optional[ctypes.CDLL]:
         lib.dlsg_meteor_load_phrases.restype = ctypes.c_int
         lib.dlsg_meteor_load_phrases.argtypes = [ctypes.c_char_p]
         # install the same default stage-2/3 tables the Python METEOR uses
-        data = os.path.join(os.path.dirname(_HERE), "metrics", "data")
-        syn = os.path.join(data, "synonyms.txt")
-        if os.path.exists(syn):
-            lib.dlsg_meteor_load_synonyms(syn.encode())
-        para = os.path.join(data, "paraphrases.txt")
-        if os.path.exists(para):
-            lib.dlsg_meteor_load_paraphrases(para.encode())
-        phrases = os.path.join(data, "phrase_paraphrases.txt")
-        if os.path.exists(phrases):
-            lib.dlsg_meteor_load_phrases(phrases.encode())
+        _install_default_tables(lib)
         _lib = lib
     except OSError:
         _lib = None
     return _lib
+
+
+def _install_default_tables(lib: ctypes.CDLL) -> None:
+    data = os.path.join(os.path.dirname(_HERE), "metrics", "data")
+    syn = os.path.join(data, "synonyms.txt")
+    if os.path.exists(syn):
+        lib.dlsg_meteor_load_synonyms(syn.encode())
+    para = os.path.join(data, "paraphrases.txt")
+    if os.path.exists(para):
+        lib.dlsg_meteor_load_paraphrases(para.encode())
+    phrases = os.path.join(data, "phrase_paraphrases.txt")
+    if os.path.exists(phrases):
+        lib.dlsg_meteor_load_phrases(phrases.encode())
+
+
+def reload_default_tables() -> None:
+    """Re-install the shipped METEOR tables into an already-loaded library
+    (undoes custom tables mirrored by metrics.meteor.load_paraphrase_file;
+    no-op when the library was never loaded)."""
+    if _lib is not None:
+        _install_default_tables(_lib)
 
 
 def available() -> bool:

@@ -399,3 +399,117 @@ def test_meteor_coverage_script_runs(tmp_path, capsys):
     assert "stage-2 synonym coverage" in out
     assert "stage-3 paraphrase coverage" in out
     assert "distinct content words: 10" in out
+
+
+# ---------------------------------------------------------------------------
+# Official paraphrase resource loading (meteor-1.5 paraphrase-en.gz / PPDB)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def _restore_meteor_tables():
+    yield
+    from dlsg_tpu.metrics import meteor as M
+
+    M.set_paraphrase_table(None)
+    M.set_phrase_table(None)
+    M._env_table_loaded = None
+
+
+def _write_gz(path, text):
+    import gzip
+
+    with gzip.open(path, "wt") as f:
+        f.write(text)
+
+
+def test_load_official_paraphrase_formats(tmp_path, _restore_meteor_tables):
+    """Every accepted line shape parses to the same pairs; gz sniffed by magic."""
+    from dlsg_tpu.metrics import meteor as M
+
+    variants = {
+        "prob_first.txt": "0.71 ||| florp ||| blint\n0.9 ||| a flurn of ||| many\n",
+        "prob_last.txt": "florp ||| blint ||| 0.71\na flurn of ||| many ||| 0.9\n",
+        "no_prob.txt": "florp ||| blint\na flurn of ||| many\n",
+        "ppdb_raw.txt": (
+            "[X] ||| florp ||| blint ||| PPDB2.0Score=0.71 Feature=1 ||| 0-0\n"
+            "[NP] ||| a flurn of ||| many ||| PPDB2.0Score=0.9 ||| 0-0 1-0\n"
+        ),
+        "tabs.txt": "florp\tblint\t0.71\na flurn of\tmany\t0.9\n",
+    }
+    for name, text in variants.items():
+        p = tmp_path / name
+        p.write_text(text)
+        info = M.load_paraphrase_file(str(p))
+        assert info["word_pairs"] == 1 and info["phrase_pairs"] == 1, (name, info)
+        assert "blint" in M.get_paraphrase_table()["florp"], name
+        assert "many" in M.get_phrase_table()["a flurn of"], name
+    gz = tmp_path / "official.data"  # no .gz suffix: magic-byte sniffing
+    _write_gz(gz, variants["prob_first.txt"])
+    info = M.load_paraphrase_file(str(gz))
+    assert info["word_pairs"] == 1 and info["phrase_pairs"] == 1
+
+
+def test_load_official_min_score_and_skips(tmp_path, _restore_meteor_tables):
+    from dlsg_tpu.metrics import meteor as M
+
+    p = tmp_path / "t.txt"
+    p.write_text(
+        "0.9 ||| keepme ||| kept\n"
+        "0.1 ||| dropme ||| dropped\n"
+        "noscore ||| unscored\n"          # no score field: always kept
+        "only_one_field\n"                # malformed: skipped
+        "a ||| b ||| c ||| d\n"           # 4 phrases, not PPDB: skipped
+        "same ||| same\n"                 # identity pair: skipped
+    )
+    info = M.load_paraphrase_file(str(p), min_score=0.5)
+    tab = M.get_paraphrase_table()
+    assert "kept" in tab["keepme"] and "unscored" in tab["noscore"]
+    assert "dropme" not in tab
+    assert info["word_pairs"] == 2 and info["lines_skipped"] == 3
+
+
+def test_official_table_scoring_and_native_parity(tmp_path, monkeypatch,
+                                                  _restore_meteor_tables):
+    """Loaded pairs change scores, the native fast path stays active (tables
+    mirrored to C++), and native/Python stats stay bit-equal on them."""
+    from dlsg_tpu import native
+    from dlsg_tpu.metrics import meteor as M
+
+    hyp, ref = "a florp sits on a flurn of chairs", "a blint sits on many chairs"
+    base = score_pair(hyp, [ref])
+    p = tmp_path / "t.txt"
+    p.write_text("florp ||| blint ||| 0.8\na flurn of ||| many ||| 0.8\n")
+    info = M.load_paraphrase_file(str(p))
+    assert score_pair(hyp, [ref]) > base
+    if native.available():
+        assert info["native_synced"] == 1
+        for h, r in [
+            (hyp, ref),
+            ("a flurn of dogs florp around", "many dogs blint around"),
+            ("nothing matches here", "completely disjoint words"),
+        ]:
+            nat = M._segment_stats(h.split(), r.split())
+            monkeypatch.setattr(native, "meteor_stats", lambda a, b: None)
+            py = M._segment_stats(h.split(), r.split())
+            monkeypatch.undo()
+            for attr in ("wp_num", "wp_den", "wr_num", "wr_den", "chunks",
+                         "raw_matches"):
+                assert getattr(nat, attr) == pytest.approx(getattr(py, attr)), (
+                    h, r, attr)
+    # restoring defaults must also restore the native tables: the pair must
+    # stop matching through BOTH paths
+    M.set_paraphrase_table(None)
+    M.set_phrase_table(None)
+    assert score_pair(hyp, [ref]) == pytest.approx(base)
+
+
+def test_meteor_env_var_table(tmp_path, monkeypatch, _restore_meteor_tables):
+    """$DLSG_METEOR_PARAPHRASE_FILE routes all scoring through the file."""
+    from dlsg_tpu.metrics import meteor as M
+
+    p = tmp_path / "env.txt"
+    p.write_text("zorp ||| quux ||| 0.9\n")
+    monkeypatch.setenv("DLSG_METEOR_PARAPHRASE_FILE", str(p))
+    Meteor()  # any scorer construction triggers the env hook
+    assert "quux" in M.get_paraphrase_table()["zorp"]
