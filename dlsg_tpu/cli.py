@@ -149,17 +149,32 @@ def main(argv=None):
         "real data is available (metrics/meteor.py::load_paraphrase_file)",
     )
     extra.add_argument(
+        "--meteor_synonym_file", type=str, default=None, metavar="PATH",
+        help="METEOR stage-2 synonyms from a WordNet-derived groups/pairs "
+        "file (metrics/meteor.py::load_synonym_file)",
+    )
+    extra.add_argument(
+        "--meteor_function_words_file", type=str, default=None, metavar="PATH",
+        help="METEOR function-word list from a corpus-derived file "
+        "(metrics/meteor.py::load_function_words_file)",
+    )
+    extra.add_argument(
         "--warmup", action="store_true",
         help="serve --listen: pre-compile every request bucket shape before "
         "accepting traffic (first TPU compile is tens of seconds per shape)",
     )
     extra_ns, cfg_argv = extra.parse_known_args(rest)
-    if extra_ns.meteor_paraphrase_file:
-        # via the env var so every scoring site (standalone eval, in-training
-        # eval, serve) picks it up at its first Meteor() construction
-        import os
+    # via env vars so every scoring site (standalone eval, in-training eval,
+    # serve) picks these up at its first Meteor() construction
+    import os
 
-        os.environ["DLSG_METEOR_PARAPHRASE_FILE"] = extra_ns.meteor_paraphrase_file
+    for flag, var in (
+        ("meteor_paraphrase_file", "DLSG_METEOR_PARAPHRASE_FILE"),
+        ("meteor_synonym_file", "DLSG_METEOR_SYNONYM_FILE"),
+        ("meteor_function_words_file", "DLSG_METEOR_FUNCTION_WORDS_FILE"),
+    ):
+        if getattr(extra_ns, flag):
+            os.environ[var] = getattr(extra_ns, flag)
     if extra_ns.distributed:
         jax.distributed.initialize()
 

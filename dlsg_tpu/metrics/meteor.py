@@ -18,9 +18,13 @@ this module implements the published METEOR 1.5 English scoring algorithm
   span of reference words ("a lot of" ~ "many"), one-to-one at the word
   level, under the same lexicographic alignment objective. Both stand in for
   the unshippable ~1GB paraphrase-en.gz. `set_synonym_table` /
-  `set_paraphrase_table` / `set_phrase_table` swap in custom tables. The
-  remaining deviation from the jar is table CONTENT (curated caption-domain
-  groups vs PPDB) — see BENCHMARKS.md "METEOR fidelity".
+  `set_paraphrase_table` / `set_phrase_table` / `set_function_words` swap in
+  custom tables, and `load_paraphrase_file` / `load_synonym_file` /
+  `load_function_words_file` (or the $DLSG_METEOR_*_FILE env vars) install
+  the OFFICIAL resources when a user has them — custom tables are mirrored
+  into the C++ aligner so the native fast path stays active. The remaining
+  default-config deviation from the jar is table CONTENT (curated
+  caption-domain groups vs PPDB) — see BENCHMARKS.md "METEOR fidelity".
 - alignment: the official Aligner's beam search over partial alignments,
   selecting by METEOR's documented objective — MAXIMIZE matched words, then
   MINIMIZE chunks, then MINIMIZE total match distance (Denkowski & Lavie 2011
@@ -83,13 +87,20 @@ _PHRASES_PATH = os.path.join(
 _SYNONYM: Optional[Dict[str, frozenset]] = None  # None -> load default file
 _PARAPHRASE: Optional[Dict[str, frozenset]] = None
 _PHRASE: Optional[Dict[str, frozenset]] = None
+_FUNCTION: Optional[frozenset] = None  # None -> the built-in FUNCTION_WORDS
 _SYN_CUSTOM = False  # a user-installed table replaces the shipped one
 _PARA_CUSTOM = False
 _PHRASE_CUSTOM = False
+_FW_CUSTOM = False
 _IS_DEFAULT_TABLE = True  # native fast path only valid with the shipped tables
-# load_paraphrase_file() mirrors its custom tables into the C++ aligner, which
-# re-validates the native fast path even though the tables are non-default
+# _sync_native() mirrors custom tables into the C++ aligner, which re-validates
+# the native fast path even though the tables are non-default
 _TABLES_NATIVE_SYNCED = False
+
+
+def get_function_words() -> frozenset:
+    """Current function-word set (delta discounting); default FUNCTION_WORDS."""
+    return FUNCTION_WORDS if _FUNCTION is None else _FUNCTION
 
 
 def _load_groups_file(path: str) -> Dict[str, frozenset]:
@@ -155,16 +166,12 @@ def set_synonym_table(table: Optional[Dict[str, Sequence[str]]]) -> None:
 
     Pass None to restore the shipped default; pass {} to disable stage 2.
     """
-    global _SYNONYM, _SYN_CUSTOM, _IS_DEFAULT_TABLE, _TABLES_NATIVE_SYNCED
+    global _SYNONYM, _SYN_CUSTOM
     _SYN_CUSTOM = table is not None
-    _IS_DEFAULT_TABLE = not (_SYN_CUSTOM or _PARA_CUSTOM or _PHRASE_CUSTOM)
-    _TABLES_NATIVE_SYNCED = False
-    from dlsg_tpu import native
-
-    native.reload_default_tables()  # undo any mirrored custom tables
     _SYNONYM = None if table is None else {
         k: frozenset(v) for k, v in table.items()
     }
+    _sync_native()
 
 
 def set_paraphrase_table(table: Optional[Dict[str, Sequence[str]]]) -> None:
@@ -172,33 +179,102 @@ def set_paraphrase_table(table: Optional[Dict[str, Sequence[str]]]) -> None:
 
     Pass None to restore the shipped default; pass {} to disable stage 3.
     """
-    global _PARAPHRASE, _PARA_CUSTOM, _IS_DEFAULT_TABLE, _TABLES_NATIVE_SYNCED
+    global _PARAPHRASE, _PARA_CUSTOM
     _PARA_CUSTOM = table is not None
-    _IS_DEFAULT_TABLE = not (_SYN_CUSTOM or _PARA_CUSTOM or _PHRASE_CUSTOM)
-    _TABLES_NATIVE_SYNCED = False
-    from dlsg_tpu import native
-
-    native.reload_default_tables()  # undo any mirrored custom tables
     _PARAPHRASE = None if table is None else {
         k: frozenset(v) for k, v in table.items()
     }
+    _sync_native()
 
 
 def set_phrase_table(table: Optional[Dict[str, Sequence[str]]]) -> None:
     """Install a custom stage-3 PHRASE table (phrase -> equivalent phrases,
     all space-joined word strings). None restores the shipped default; {}
     disables span matching."""
-    global _PHRASE, _PHRASE_CUSTOM, _IS_DEFAULT_TABLE, _TABLES_NATIVE_SYNCED
+    global _PHRASE, _PHRASE_CUSTOM
     _PHRASE_CUSTOM = table is not None
-    _IS_DEFAULT_TABLE = not (_SYN_CUSTOM or _PARA_CUSTOM or _PHRASE_CUSTOM)
-    _TABLES_NATIVE_SYNCED = False
-    from dlsg_tpu import native
-
-    native.reload_default_tables()  # undo any mirrored custom tables
     _PHRASE = None if table is None else {
         " ".join(k.split()): frozenset(" ".join(x.split()) for x in v)
         for k, v in table.items()
     }
+    _sync_native()
+
+
+def set_function_words(words: Optional[Sequence[str]]) -> None:
+    """Install a custom function-word list for delta discounting (METEOR's
+    own list is corpus-derived; the built-in is a compact stand-in). None
+    restores the built-in; an empty list disables discounting."""
+    global _FUNCTION, _FW_CUSTOM
+    _FW_CUSTOM = words is not None
+    _FUNCTION = None if words is None else frozenset(words)
+    _sync_native()
+
+
+def _sync_native() -> None:
+    """Make the C++ aligner agree with the CURRENT Python-side tables.
+
+    Default tables: reinstall the shipped files into an already-loaded
+    library (a lazily-loaded one installs them itself). Custom tables: push
+    the exact Python contents through the native loaders; only on success is
+    the native fast path re-validated (_TABLES_NATIVE_SYNCED)."""
+    global _IS_DEFAULT_TABLE, _TABLES_NATIVE_SYNCED
+    _IS_DEFAULT_TABLE = not (
+        _SYN_CUSTOM or _PARA_CUSTOM or _PHRASE_CUSTOM or _FW_CUSTOM
+    )
+    _TABLES_NATIVE_SYNCED = False
+    from dlsg_tpu import native
+
+    if _IS_DEFAULT_TABLE:
+        native.reload_default_tables()
+        return
+    if not native.available():
+        return  # Python aligner serves all scoring (fast path gated off)
+    lib = native.load()
+    tmp = tempfile.mkdtemp(prefix="dlsg_meteor_tables_")
+    representable = True
+
+    def _write_pairs(name, table, sep=" ", allow_space=False):
+        # 2-element groups through the native group loaders are exactly
+        # symmetric pairs (no transitive closure); both engines look pairs up
+        # in both directions, so one unordered pair per line suffices —
+        # asymmetric custom entries become symmetric in BOTH engines already
+        nonlocal representable
+        pairs = set()
+        for a, eq in table.items():
+            for b in eq:
+                if a != b:
+                    pairs.add((a, b) if a <= b else (b, a))
+        path = os.path.join(tmp, name)
+        with open(path, "w") as f:
+            for a, b in sorted(pairs):
+                both = a + b
+                if "#" in both or "|" in both or (not allow_space and " " in both):
+                    representable = False  # file format can't express it
+                    continue
+                f.write(f"{a}{sep}{b}\n")
+        return path
+
+    syn = _write_pairs("synonyms.txt", get_synonym_table())
+    para = _write_pairs("paraphrases.txt", get_paraphrase_table())
+    phr = _write_pairs("phrases.txt", get_phrase_table(), sep=" ||| ",
+                       allow_space=True)
+    fw_path = os.path.join(tmp, "function_words.txt")
+    with open(fw_path, "w") as f:
+        for w in sorted(get_function_words()):
+            if "#" in w or " " in w:
+                representable = False
+                continue
+            f.write(w + "\n")
+    ok = representable and (
+        lib.dlsg_meteor_load_synonyms(syn.encode()) >= 0
+        and lib.dlsg_meteor_load_paraphrases(para.encode()) >= 0
+        and lib.dlsg_meteor_load_phrases(phr.encode()) >= 0
+        and lib.dlsg_meteor_load_function_words(fw_path.encode()) >= 0
+    )
+    if ok:
+        _TABLES_NATIVE_SYNCED = True
+    else:  # half-loaded native tables must never be consulted: reset them
+        native.reload_default_tables()
 
 
 def _open_maybe_gz(path: str):
@@ -276,7 +352,7 @@ def load_paraphrase_file(path: str, min_score: Optional[float] = None) -> Dict[s
     "native_synced": 0|1}``. Memory note: the full paraphrase-en.gz expands to
     a few GB of Python dicts — the jar needed -Xmx2G for the same data.
     """
-    global _TABLES_NATIVE_SYNCED
+    global _PARAPHRASE, _PARA_CUSTOM, _PHRASE, _PHRASE_CUSTOM
     word: Dict[str, set] = {}
     phrase: Dict[str, set] = {}
     skipped = 0
@@ -299,64 +375,95 @@ def load_paraphrase_file(path: str, min_score: Optional[float] = None) -> Dict[s
             tgt = word if (" " not in p1 and " " not in p2) else phrase
             tgt.setdefault(p1, set()).add(p2)
             tgt.setdefault(p2, set()).add(p1)
-    set_paraphrase_table(word)
-    set_phrase_table(phrase)
-    n_word = sum(len(v) for v in word.values()) // 2
-    n_phrase = sum(len(v) for v in phrase.values()) // 2
-    synced = _sync_tables_to_native(word, phrase)
-    _TABLES_NATIVE_SYNCED = synced
+    # direct install (set_* would push to native once per table)
+    _PARA_CUSTOM = _PHRASE_CUSTOM = True
+    _PARAPHRASE = {k: frozenset(v) for k, v in word.items()}
+    _PHRASE = {k: frozenset(v) for k, v in phrase.items()}
+    _sync_native()
     return {
-        "word_pairs": n_word,
-        "phrase_pairs": n_phrase,
+        "word_pairs": sum(len(v) for v in word.values()) // 2,
+        "phrase_pairs": sum(len(v) for v in phrase.values()) // 2,
         "lines_skipped": skipped,
-        "native_synced": int(synced),
+        "native_synced": int(_TABLES_NATIVE_SYNCED),
     }
 
 
-def _sync_tables_to_native(word: Dict[str, set], phrase: Dict[str, set]) -> bool:
-    """Mirror custom stage-3 tables into the C++ aligner (pair-per-line files
-    through its group loaders — 2-element groups are exactly symmetric pairs,
-    no transitive closure)."""
-    from dlsg_tpu import native
+def load_synonym_file(path: str, min_score: Optional[float] = None) -> Dict[str, int]:
+    """Install an external stage-2 SYNONYM resource (weight 0.8).
 
-    if not native.available():
-        return False
-    lib = native.load()
-    tmp = tempfile.mkdtemp(prefix="dlsg_meteor_tables_")
-    wpath = os.path.join(tmp, "paraphrases.txt")
-    ppath = os.path.join(tmp, "phrases.txt")
-    with open(wpath, "w") as f:
-        for a, eq in sorted(word.items()):
-            for b in sorted(eq):
-                if a < b:
-                    f.write(f"{a} {b}\n")
-    with open(ppath, "w") as f:
-        for a, eq in sorted(phrase.items()):
-            for b in sorted(eq):
-                if a < b:
-                    f.write(f"{a} ||| {b}\n")
-    ok = (lib.dlsg_meteor_load_paraphrases(wpath.encode()) >= 0
-          and lib.dlsg_meteor_load_phrases(ppath.encode()) >= 0)
-    if not ok:  # half-loaded native tables would diverge from Python: reset
-        lib.dlsg_meteor_load_paraphrases(_PARAPHRASES_PATH.encode())
-        lib.dlsg_meteor_load_phrases(_PHRASES_PATH.encode())
-    return ok
+    Companion to :func:`load_paraphrase_file` for users with a real
+    WordNet-derived synonym list (METEOR 1.5's synonymy module). Accepts the
+    shipped groups format (space-separated equivalence groups per line, '#'
+    comments) or the same '|||'/tab pair lines as the paraphrase loader
+    (multi-word sides are rejected — stage 2 is word-level). Mirrored into
+    the C++ aligner like every custom table. Returns
+    ``{"word_pairs": n, "lines_skipped": n, "native_synced": 0|1}``."""
+    global _SYNONYM, _SYN_CUSTOM
+    table: Dict[str, set] = {}
+    skipped = 0
+    with _open_maybe_gz(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if "|||" in line or "\t" in line:
+                parsed = _parse_official_line(line)
+                if parsed is None:
+                    skipped += 1
+                    continue
+                p1, p2, score = parsed
+                if min_score is not None and score is not None and score < min_score:
+                    continue
+                words = [p1.lower(), p2.lower()]
+            else:
+                words = line.split("#")[0].lower().split()
+                if len(words) < 2:
+                    continue
+            if any(" " in w or "#" in w or "|" in w for w in words):
+                skipped += 1
+                continue
+            for w in words:
+                table.setdefault(w, set()).update(x for x in words if x != w)
+    _SYN_CUSTOM = True
+    _SYNONYM = {k: frozenset(v) for k, v in table.items()}
+    _sync_native()
+    return {
+        "word_pairs": sum(len(v) for v in table.values()) // 2,
+        "lines_skipped": skipped,
+        "native_synced": int(_TABLES_NATIVE_SYNCED),
+    }
 
 
-_ENV_TABLE_VAR = "DLSG_METEOR_PARAPHRASE_FILE"
-_env_table_loaded: Optional[str] = None
+def load_function_words_file(path: str) -> Dict[str, int]:
+    """Install METEOR's corpus-derived function-word list from a file (one or
+    more whitespace-separated words per line, '#' comments) — the last
+    documented content deviation from the jar's English configuration.
+    Returns ``{"words": n, "native_synced": 0|1}``."""
+    words = []
+    with _open_maybe_gz(path) as f:
+        for line in f:
+            words.extend(line.split("#")[0].lower().split())
+    set_function_words(words)
+    return {"words": len(get_function_words()),
+            "native_synced": int(_TABLES_NATIVE_SYNCED)}
+
+
+_ENV_LOADERS = (
+    ("DLSG_METEOR_PARAPHRASE_FILE", lambda p: load_paraphrase_file(p)),
+    ("DLSG_METEOR_SYNONYM_FILE", lambda p: load_synonym_file(p)),
+    ("DLSG_METEOR_FUNCTION_WORDS_FILE", lambda p: load_function_words_file(p)),
+)
+_env_table_loaded: Dict[str, str] = {}
 
 
 def maybe_load_env_tables() -> None:
-    """Honor $DLSG_METEOR_PARAPHRASE_FILE (idempotent per path): every scoring
-    entry point (Meteor()) calls this, so exporting the var routes ALL METEOR
-    scoring — cli evaluate, in-training eval, serve — through the official
-    table without code changes."""
-    global _env_table_loaded
-    path = os.environ.get(_ENV_TABLE_VAR)
-    if path and path != _env_table_loaded:
-        load_paraphrase_file(path)
-        _env_table_loaded = path
+    """Honor $DLSG_METEOR_{PARAPHRASE,SYNONYM,FUNCTION_WORDS}_FILE (idempotent
+    per path): every scoring entry point (Meteor()) calls this, so exporting a
+    var routes ALL METEOR scoring — cli evaluate, in-training eval, serve —
+    through the official resources without code changes."""
+    for var, loader in _ENV_LOADERS:
+        path = os.environ.get(var)
+        if path and path != _env_table_loaded.get(var):
+            loader(path)
+            _env_table_loaded[var] = path
 
 
 def _table_match(h, r, hs, rs, table) -> bool:
@@ -533,7 +640,7 @@ class MeteorParams:
     def word_weight(self, word: str) -> float:
         """Function-word discounting: content words weigh delta, function
         words (1 - delta)."""
-        return (1.0 - self.delta) if word in FUNCTION_WORDS else self.delta
+        return (1.0 - self.delta) if word in get_function_words() else self.delta
 
 
 _DEFAULT_PARAMS = MeteorParams()

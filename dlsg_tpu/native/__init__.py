@@ -75,6 +75,10 @@ def load() -> Optional[ctypes.CDLL]:
         lib.dlsg_meteor_load_paraphrases.argtypes = [ctypes.c_char_p]
         lib.dlsg_meteor_load_phrases.restype = ctypes.c_int
         lib.dlsg_meteor_load_phrases.argtypes = [ctypes.c_char_p]
+        lib.dlsg_meteor_load_function_words.restype = ctypes.c_int
+        lib.dlsg_meteor_load_function_words.argtypes = [ctypes.c_char_p]
+        lib.dlsg_meteor_reset_function_words.restype = ctypes.c_int
+        lib.dlsg_meteor_reset_function_words.argtypes = []
         # install the same default stage-2/3 tables the Python METEOR uses
         _install_default_tables(lib)
         _lib = lib
@@ -84,6 +88,7 @@ def load() -> Optional[ctypes.CDLL]:
 
 
 def _install_default_tables(lib: ctypes.CDLL) -> None:
+    lib.dlsg_meteor_reset_function_words()
     data = os.path.join(os.path.dirname(_HERE), "metrics", "data")
     syn = os.path.join(data, "synonyms.txt")
     if os.path.exists(syn):

@@ -486,8 +486,8 @@ const double STAGE_WEIGHTS[4] = {1.0, 0.6, 0.8, 0.6};
 const double DELTA = 0.75;
 const int BEAM_WIDTH = 40;
 
-const std::set<std::string>& function_words() {
-  static std::set<std::string> fw = {
+const std::set<std::string>& default_function_words() {
+  static const std::set<std::string> fw = {
       "a","an","the","this","that","these","those","some","any","each","every",
       "no","all","both","half","i","you","he","she","it","we","they","me","him",
       "her","us","them","my","your","his","its","our","their","is","am","are",
@@ -498,6 +498,11 @@ const std::set<std::string>& function_words() {
       "down","out","off","over","under","again","further","then","once","here",
       "there","when","where","why","how","and","or","but","if","because","as",
       "until","while","not","so","than","too","very","s","t","just","don","now"};
+  return fw;
+}
+
+std::set<std::string>& function_words() {
+  static std::set<std::string> fw = default_function_words();
   return fw;
 }
 
@@ -731,6 +736,30 @@ int load_groups_file(const char* path, EquivTable& table) {
 
 int dlsg_meteor_load_synonyms(const char* path) {
   return load_groups_file(path, synonym_table());
+}
+
+// Load a function-word list (whitespace-separated words, '#' comments),
+// REPLACING the built-in list (mirrors meteor.py set_function_words).
+// Returns the list size, or -1 on error.
+int dlsg_meteor_load_function_words(const char* path) {
+  if (!path) return -1;
+  std::ifstream f(path);
+  if (!f) return -1;
+  std::set<std::string>& fw = function_words();
+  fw.clear();
+  std::string line;
+  while (std::getline(f, line)) {
+    size_t hash = line.find('#');
+    if (hash != std::string::npos) line.resize(hash);
+    for (const auto& w : split_ws(line)) fw.insert(w);
+  }
+  return (int)fw.size();
+}
+
+// Restore the built-in function-word list. Returns its size.
+int dlsg_meteor_reset_function_words() {
+  function_words() = default_function_words();
+  return (int)function_words().size();
 }
 
 int dlsg_meteor_load_paraphrases(const char* path) {

@@ -411,9 +411,11 @@ def _restore_meteor_tables():
     yield
     from dlsg_tpu.metrics import meteor as M
 
+    M.set_synonym_table(None)
     M.set_paraphrase_table(None)
     M.set_phrase_table(None)
-    M._env_table_loaded = None
+    M.set_function_words(None)
+    M._env_table_loaded.clear()
 
 
 def _write_gz(path, text):
@@ -513,3 +515,80 @@ def test_meteor_env_var_table(tmp_path, monkeypatch, _restore_meteor_tables):
     monkeypatch.setenv("DLSG_METEOR_PARAPHRASE_FILE", str(p))
     Meteor()  # any scorer construction triggers the env hook
     assert "quux" in M.get_paraphrase_table()["zorp"]
+
+
+def test_load_synonym_file_formats(tmp_path, _restore_meteor_tables):
+    """Groups format and pair format both install stage-2 synonyms."""
+    from dlsg_tpu.metrics import meteor as M
+
+    g = tmp_path / "groups.txt"
+    g.write_text("florp blint zorp  # a 3-word group\nquux xyzzy\n")
+    info = M.load_synonym_file(str(g))
+    tab = M.get_synonym_table()
+    assert info["word_pairs"] == 4  # C(3,2) + 1
+    assert {"blint", "zorp"} <= tab["florp"] and "xyzzy" in tab["quux"]
+    p = tmp_path / "pairs.txt"
+    p.write_text("0.9 ||| florp ||| blint\nflorp ||| multi word ||| 0.9\n")
+    info = M.load_synonym_file(str(p))
+    assert info["word_pairs"] == 1 and info["lines_skipped"] == 1
+    # stage-2 weight (0.8) > stage-3 (0.6): the same pair scores HIGHER as a
+    # synonym than as a paraphrase
+    hyp, ref = "a florp runs", "a blint runs"
+    syn_score = score_pair(hyp, [ref])
+    M.set_synonym_table(None)
+    pfile = tmp_path / "para.txt"
+    pfile.write_text("florp ||| blint\n")
+    M.load_paraphrase_file(str(pfile))
+    assert syn_score > score_pair(hyp, [ref]) > 0
+
+
+def test_load_function_words_file(tmp_path, _restore_meteor_tables):
+    """A custom function-word list changes delta discounting in BOTH engines."""
+    from dlsg_tpu import native
+    from dlsg_tpu.metrics import meteor as M
+
+    hyp, ref = "the cat runs", "the cat walks"
+    base = score_pair(hyp, [ref])
+    fw = tmp_path / "fw.txt"
+    # make 'cat' a function word (and keep the usual determiners)
+    fw.write_text("the a an\ncat  # discounted now\n")
+    info = M.load_function_words_file(str(fw))
+    assert info["words"] == 4
+    assert M.get_function_words() == frozenset({"the", "a", "an", "cat"})
+    changed = score_pair(hyp, [ref])
+    assert changed != pytest.approx(base)
+    if native.available():
+        assert info["native_synced"] == 1
+        nat = M._segment_stats(hyp.split(), ref.split())
+        import unittest.mock as mock
+
+        with mock.patch.object(native, "meteor_stats", lambda a, b: None):
+            py = M._segment_stats(hyp.split(), ref.split())
+        for attr in ("wp_num", "wp_den", "wr_num", "wr_den", "chunks",
+                     "raw_matches"):
+            assert getattr(nat, attr) == pytest.approx(getattr(py, attr)), attr
+    # restore: built-in list again, scores revert through both engines
+    M.set_function_words(None)
+    assert score_pair(hyp, [ref]) == pytest.approx(base)
+
+
+def test_custom_synonyms_native_parity(tmp_path, monkeypatch,
+                                       _restore_meteor_tables):
+    """set_synonym_table customs are mirrored to C++ (round-4 unified sync):
+    fast path stays on and stats agree."""
+    from dlsg_tpu import native
+    from dlsg_tpu.metrics import meteor as M
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    M.set_synonym_table({"florp": ["blint"]})
+    assert M._TABLES_NATIVE_SYNCED
+    for h, r in [("a florp runs", "a blint walks"),
+                 ("florp florp blint", "blint over there")]:
+        nat = M._segment_stats(h.split(), r.split())
+        monkeypatch.setattr(native, "meteor_stats", lambda a, b: None)
+        py = M._segment_stats(h.split(), r.split())
+        monkeypatch.undo()
+        for attr in ("wp_num", "wp_den", "wr_num", "wr_den", "chunks",
+                     "raw_matches"):
+            assert getattr(nat, attr) == pytest.approx(getattr(py, attr)), (h, r, attr)
