@@ -10,7 +10,12 @@ Replaces the reference's entry scripts with one CLI:
   test set's feature clips with a trained checkpoint and print one JSON line
   per video ({"video_id", "caption"}) — inference as a product, no scoring.
   `--greedy` uses greedy decode; `--fast` enables the approximate-top-k beam
-  (serve.Captioner's documented latency trade).
+  (serve.Captioner's documented latency trade). `--bundle model.dlsg.npz`
+  serves from a single-file bundle (no checkpoint dir / vocab pkl needed).
+- `python -m dlsg_tpu.cli export`       (no reference equivalent) package a
+  trained checkpoint (--metric / --torch_checkpoint) + vocab + config into
+  one self-contained serving bundle: `export --metric best_CIDEr --out
+  model.dlsg.npz` (see dlsg_tpu/bundle.py).
 
 All reference flags (`utils/opt.py`) are accepted. No `torch.distributed.launch`
 wrapper is needed: a single process drives all local TPU chips through the mesh;
@@ -136,6 +141,15 @@ def main(argv=None):
         "latency at 99.97%% token agreement)",
     )
     extra.add_argument(
+        "--bundle", type=str, default=None, metavar="PATH",
+        help="serve: load a single-file serving bundle (from `export`) "
+        "instead of checkpoint dir + vocab pkl",
+    )
+    extra.add_argument(
+        "--out", type=str, default=None, metavar="PATH",
+        help="export: output bundle path (default model.dlsg.npz)",
+    )
+    extra.add_argument(
         "--listen", type=str, default=None, metavar="HOST:PORT",
         help="serve: run a long-lived HTTP captioning service instead of a "
         "batch run (GET /healthz, POST /caption with an .npz or JSON body "
@@ -189,7 +203,9 @@ def main(argv=None):
         mesh = make_mesh(n_data=cfg.mesh_data_axis, n_model=cfg.mesh_model_axis)
     else:
         mesh = None
-    if command in ("evaluate", "serve") and (
+    if command == "serve" and extra_ns.bundle:
+        pass  # a bundle IS the trained model — no checkpoint guard needed
+    elif command in ("evaluate", "serve", "export") and (
         not extra_ns.metric and not extra_ns.torch_checkpoint
         and not extra_ns.allow_random_params
     ):
@@ -202,9 +218,22 @@ def main(argv=None):
         )
         return 2
 
-    if command == "serve" and (extra_ns.features or extra_ns.listen):
-        # captioning arbitrary pre-extracted features (or serving over HTTP):
-        # no dataset files needed, only the vocab
+    if command == "serve" and extra_ns.bundle and not (
+        extra_ns.features or extra_ns.listen
+    ):
+        print(
+            "serve: --bundle requires --features or --listen (the bundle "
+            "carries no dataset; give it clips or run it as a service)",
+            file=sys.stderr,
+        )
+        return 2
+    if command == "serve" and extra_ns.bundle:
+        vocab = train_ds = eval_ds = reference = None  # all inside the bundle
+    elif command in ("serve", "export") and (
+        extra_ns.features or extra_ns.listen or command == "export"
+    ):
+        # captioning arbitrary pre-extracted features, serving over HTTP, or
+        # packaging a bundle: no dataset files needed, only the vocab
         if extra_ns.synthetic:
             from dlsg_tpu.data.synthetic import make_vocab
 
@@ -266,11 +295,27 @@ def main(argv=None):
         runner.train(**shards)
         return 0
 
-    if command in ("evaluate", "serve"):
+    if command in ("evaluate", "export") or (
+        command == "serve" and not extra_ns.bundle
+    ):
         from dlsg_tpu.config import apply_dataset_overrides
 
         cfg = apply_dataset_overrides(cfg)
         model, params = _load_generator_params(cfg, vocab, extra_ns)
+
+    if command == "export":
+        from dlsg_tpu.bundle import save_bundle
+
+        out = extra_ns.out or "model.dlsg.npz"
+        save_bundle(out, cfg, vocab, params)
+        import os
+
+        print(
+            f"export: wrote {out} ({os.path.getsize(out) / 1e6:.1f} MB — "
+            f"{len(vocab)}-word vocab, {cfg.dataset} config)",
+            file=sys.stderr,
+        )
+        return 0
 
     if command == "serve":
         import json
@@ -283,9 +328,15 @@ def main(argv=None):
         import contextlib
         import time
 
-        captioner = Captioner.from_params(
-            cfg, vocab, params, fast=extra_ns.fast, mesh=mesh
-        )
+        if extra_ns.bundle:
+            captioner = Captioner.from_bundle(
+                extra_ns.bundle, fast=extra_ns.fast, mesh=mesh
+            )
+            cfg = captioner.cfg  # the bundle's resolved config drives serving
+        else:
+            captioner = Captioner.from_params(
+                cfg, vocab, params, fast=extra_ns.fast, mesh=mesh
+            )
         if extra_ns.listen:
             from dlsg_tpu.server import CaptionServer
 

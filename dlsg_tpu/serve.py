@@ -93,6 +93,17 @@ class Captioner:
     ) -> "Captioner":
         return cls(cfg, vocab, params, fast=fast, mesh=mesh)
 
+    @classmethod
+    def from_bundle(
+        cls, path: str, fast: bool = False, mesh=None
+    ) -> "Captioner":
+        """Load a single-file serving bundle (bundle.py::save_bundle) — the
+        deployment path: no checkpoint dir, vocab pkl, or flag matching."""
+        from dlsg_tpu.bundle import load_bundle
+
+        cfg, vocab, params = load_bundle(path)
+        return cls(cfg, vocab, params, fast=fast, mesh=mesh)
+
     # smallest compiled batch; buckets double from here up to test_batch_size
     MIN_BUCKET = 8
 
