@@ -157,3 +157,45 @@ def test_unknown_path_is_404(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(srv, "/nope", b"x", "application/json")
     assert ei.value.code == 404
+
+
+def test_metrics_endpoint(server):
+    """/metrics exposes Prometheus counters that track /caption traffic."""
+    srv, cap, cfg = server
+
+    def scrape():
+        with urllib.request.urlopen(_url(srv, "/metrics")) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        return {
+            line.split()[0]: float(line.split()[1])
+            for line in text.splitlines()
+            if line and not line.startswith("#")
+        }
+
+    before = scrape()
+    rng = np.random.default_rng(5)
+    buf = io.BytesIO()
+    np.savez(
+        buf,
+        frames=rng.normal(size=(2, cfg.max_frames, cfg.feature_size)).astype(np.float32),
+        regions=rng.normal(size=(2, cfg.max_frames, cfg.num_obj,
+                                 cfg.region_feature_size)).astype(np.float32),
+    )
+    _post(srv, "/caption", buf.getvalue(), "application/x-npz")
+    with pytest.raises(urllib.error.HTTPError):
+        _post(srv, "/caption", b"garbage", "application/json")
+    after = scrape()
+
+    assert after["dlsg_requests_total"] == before["dlsg_requests_total"] + 2
+    assert after["dlsg_clips_total"] == before["dlsg_clips_total"] + 2
+    assert after["dlsg_errors_total"] == before["dlsg_errors_total"] + 1
+    assert after["dlsg_request_latency_seconds_count"] == \
+        before["dlsg_request_latency_seconds_count"] + 1
+    assert after["dlsg_request_latency_seconds_sum"] > \
+        before["dlsg_request_latency_seconds_sum"]
+    # histogram is cumulative: the +Inf bucket equals the count
+    assert after['dlsg_request_latency_seconds_bucket{le="+Inf"}'] == \
+        after["dlsg_request_latency_seconds_count"]
+    assert after["dlsg_uptime_seconds"] > 0
+    assert after["dlsg_warm"] in (0.0, 1.0)
