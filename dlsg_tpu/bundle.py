@@ -76,7 +76,10 @@ def save_bundle(path: str, cfg: DLSGConfig, vocab: Vocabulary, params) -> None:
         _PARAM_PREFIX + k: v for k, v in _flatten_params(params).items()
     }
     arrays[_META_KEY] = np.frombuffer(meta.encode("utf-8"), dtype=np.uint8)
-    np.savez_compressed(path, **arrays)
+    # through a file object: np.savez_compressed appends '.npz' to str paths
+    # without the suffix, which would misplace a user-named bundle
+    with open(path, "wb") as f:
+        np.savez_compressed(f, **arrays)
 
 
 def load_bundle(path: str) -> Tuple[DLSGConfig, Vocabulary, Dict]:
@@ -110,8 +113,5 @@ def load_bundle(path: str) -> Tuple[DLSGConfig, Vocabulary, Dict]:
         if k in known
     }
     cfg = DLSGConfig(**cfg_dict)
-    vocab = Vocabulary.__new__(Vocabulary)  # same pattern as load_json
-    vocab.idx2word = list(meta["vocab"])
-    vocab.word2idx = {w: i for i, w in enumerate(vocab.idx2word)}
-    vocab.nwords = len(vocab.idx2word)
+    vocab = Vocabulary.from_idx2word(meta["vocab"])
     return cfg, vocab, _unflatten_params(flat)

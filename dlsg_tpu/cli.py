@@ -125,8 +125,11 @@ def main(argv=None):
         "--greedy", action="store_true", help="serve: greedy decode instead of beam"
     )
     extra.add_argument(
-        "--output", type=str, default=None,
-        help="serve: write the JSON lines to this file instead of stdout",
+        "--output", "--out", type=str, default=None, metavar="PATH",
+        help="serve: write the JSON lines to this file instead of stdout; "
+        "export: the bundle path (default model.dlsg.npz). --out is an "
+        "explicit alias (and keeps pre-export scripts that abbreviated "
+        "--output as --out working)",
     )
     extra.add_argument(
         "--features", type=str, default=None,
@@ -144,10 +147,6 @@ def main(argv=None):
         "--bundle", type=str, default=None, metavar="PATH",
         help="serve: load a single-file serving bundle (from `export`) "
         "instead of checkpoint dir + vocab pkl",
-    )
-    extra.add_argument(
-        "--out", type=str, default=None, metavar="PATH",
-        help="export: output bundle path (default model.dlsg.npz)",
     )
     extra.add_argument(
         "--listen", type=str, default=None, metavar="HOST:PORT",
@@ -306,7 +305,7 @@ def main(argv=None):
     if command == "export":
         from dlsg_tpu.bundle import save_bundle
 
-        out = extra_ns.out or "model.dlsg.npz"
+        out = extra_ns.output or "model.dlsg.npz"
         save_bundle(out, cfg, vocab, params)
         import os
 

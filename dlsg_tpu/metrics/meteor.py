@@ -161,6 +161,21 @@ def get_phrase_table() -> Dict[str, frozenset]:
     return _PHRASE
 
 
+_PHRASE_MAX_LEN: Optional[int] = None  # cached longest phrase (in words)
+
+
+def _phrase_max_len() -> int:
+    """Longest phrase in the CURRENT module phrase table — cached so the
+    per-alignment span enumeration doesn't rescan GB-scale official tables
+    (the C++ side keeps the same cache in phrase_max_len())."""
+    global _PHRASE_MAX_LEN
+    if _PHRASE_MAX_LEN is None:
+        _PHRASE_MAX_LEN = max(
+            (len(p.split()) for p in get_phrase_table()), default=0
+        )
+    return _PHRASE_MAX_LEN
+
+
 def set_synonym_table(table: Optional[Dict[str, Sequence[str]]]) -> None:
     """Install a custom stage-2 synonym table (word -> equivalents).
 
@@ -191,12 +206,13 @@ def set_phrase_table(table: Optional[Dict[str, Sequence[str]]]) -> None:
     """Install a custom stage-3 PHRASE table (phrase -> equivalent phrases,
     all space-joined word strings). None restores the shipped default; {}
     disables span matching."""
-    global _PHRASE, _PHRASE_CUSTOM
+    global _PHRASE, _PHRASE_CUSTOM, _PHRASE_MAX_LEN
     _PHRASE_CUSTOM = table is not None
     _PHRASE = None if table is None else {
         " ".join(k.split()): frozenset(" ".join(x.split()) for x in v)
         for k, v in table.items()
     }
+    _PHRASE_MAX_LEN = None
     _sync_native()
 
 
@@ -208,6 +224,21 @@ def set_function_words(words: Optional[Sequence[str]]) -> None:
     _FW_CUSTOM = words is not None
     _FUNCTION = None if words is None else frozenset(words)
     _sync_native()
+
+
+_SYNC_SUSPENDED = False  # batch multiple table installs into one native push
+_SYNC_DIR: Optional[str] = None  # one reused temp dir per process (no leak)
+
+
+def _sync_dir() -> str:
+    global _SYNC_DIR
+    if _SYNC_DIR is None:
+        import atexit
+        import shutil
+
+        _SYNC_DIR = tempfile.mkdtemp(prefix="dlsg_meteor_tables_")
+        atexit.register(shutil.rmtree, _SYNC_DIR, ignore_errors=True)
+    return _SYNC_DIR
 
 
 def _sync_native() -> None:
@@ -222,6 +253,8 @@ def _sync_native() -> None:
         _SYN_CUSTOM or _PARA_CUSTOM or _PHRASE_CUSTOM or _FW_CUSTOM
     )
     _TABLES_NATIVE_SYNCED = False
+    if _SYNC_SUSPENDED:
+        return  # maybe_load_env_tables() syncs once after all its loads
     from dlsg_tpu import native
 
     if _IS_DEFAULT_TABLE:
@@ -230,7 +263,7 @@ def _sync_native() -> None:
     if not native.available():
         return  # Python aligner serves all scoring (fast path gated off)
     lib = native.load()
-    tmp = tempfile.mkdtemp(prefix="dlsg_meteor_tables_")
+    tmp = _sync_dir()
     representable = True
 
     def _write_pairs(name, table, sep=" ", allow_space=False):
@@ -247,8 +280,16 @@ def _sync_native() -> None:
         path = os.path.join(tmp, name)
         with open(path, "w") as f:
             for a, b in sorted(pairs):
-                both = a + b
-                if "#" in both or "|" in both or (not allow_space and " " in both):
+                # the C++ group loaders re-tokenize on ANY whitespace, so a
+                # tab/newline inside a key would silently change the pair —
+                # normalized single-space phrases are the only spaces allowed
+                clean = all(
+                    "#" not in x and "|" not in x
+                    and (" ".join(x.split()) == x if allow_space
+                         else x.split() == [x])
+                    for x in (a, b)
+                )
+                if not clean:
                     representable = False  # file format can't express it
                     continue
                 f.write(f"{a}{sep}{b}\n")
@@ -261,7 +302,7 @@ def _sync_native() -> None:
     fw_path = os.path.join(tmp, "function_words.txt")
     with open(fw_path, "w") as f:
         for w in sorted(get_function_words()):
-            if "#" in w or " " in w:
+            if "#" in w or w.split() != [w]:  # any whitespace re-tokenizes
                 representable = False
                 continue
             f.write(w + "\n")
@@ -376,9 +417,11 @@ def load_paraphrase_file(path: str, min_score: Optional[float] = None) -> Dict[s
             tgt.setdefault(p1, set()).add(p2)
             tgt.setdefault(p2, set()).add(p1)
     # direct install (set_* would push to native once per table)
+    global _PHRASE_MAX_LEN
     _PARA_CUSTOM = _PHRASE_CUSTOM = True
     _PARAPHRASE = {k: frozenset(v) for k, v in word.items()}
     _PHRASE = {k: frozenset(v) for k, v in phrase.items()}
+    _PHRASE_MAX_LEN = None
     _sync_native()
     return {
         "word_pairs": sum(len(v) for v in word.values()) // 2,
@@ -459,11 +502,24 @@ def maybe_load_env_tables() -> None:
     per path): every scoring entry point (Meteor()) calls this, so exporting a
     var routes ALL METEOR scoring — cli evaluate, in-training eval, serve —
     through the official resources without code changes."""
-    for var, loader in _ENV_LOADERS:
-        path = os.environ.get(var)
-        if path and path != _env_table_loaded.get(var):
-            loader(path)
-            _env_table_loaded[var] = path
+    global _SYNC_SUSPENDED
+    pending = [
+        (var, loader) for var, loader in _ENV_LOADERS
+        if os.environ.get(var)
+        and os.environ.get(var) != _env_table_loaded.get(var)
+    ]
+    if not pending:
+        return
+    # one native push for all loads (each would otherwise rewrite and re-sort
+    # every table file — expensive with the real GB-scale resources)
+    _SYNC_SUSPENDED = True
+    try:
+        for var, loader in pending:
+            loader(os.environ[var])
+            _env_table_loaded[var] = os.environ[var]
+    finally:
+        _SYNC_SUSPENDED = False
+    _sync_native()
 
 
 def _table_match(h, r, hs, rs, table) -> bool:
@@ -502,7 +558,10 @@ def _phrase_candidates(hyp, ref, phrases):
     out: Dict[int, List[Tuple[int, int, int]]] = {}
     if not phrases:
         return out
-    max_len = max(len(p.split()) for p in phrases)
+    if phrases is _PHRASE:  # module table: cached (official tables are huge)
+        max_len = _phrase_max_len()
+    else:
+        max_len = max(len(p.split()) for p in phrases)
     # index every ref span surface form up to the table's longest phrase
     ref_spans: Dict[str, List[Tuple[int, int]]] = {}
     for j in range(len(ref)):

@@ -82,7 +82,10 @@ def load() -> Optional[ctypes.CDLL]:
         # install the same default stage-2/3 tables the Python METEOR uses
         _install_default_tables(lib)
         _lib = lib
-    except OSError:
+    except (OSError, AttributeError):
+        # AttributeError: a stale prebuilt .so that predates a newly-bound
+        # symbol (and escaped the mtime check, e.g. copied files) — fall back
+        # to the Python implementations instead of crashing every scorer
         _lib = None
     return _lib
 

@@ -210,12 +210,33 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:  # noqa: BLE001 - malformed client payload -> 400
             self.server.record(None, error=True)
             return self._send(400, {"error": f"{type(e).__name__}: {e}"})
+        cfg = self.server.captioner.cfg
+        if (
+            frames.shape[1:] != (cfg.max_frames, cfg.feature_size)
+            or regions.shape[1] != cfg.max_frames
+            or regions.shape[2] < cfg.num_obj
+            or regions.shape[3] != cfg.region_feature_size
+        ):
+            self.server.record(None, error=True)
+            return self._send(400, {
+                "error": "feature dims mismatch: expected frames "
+                f"[N,{cfg.max_frames},{cfg.feature_size}] and regions "
+                f"[N,{cfg.max_frames},>={cfg.num_obj},"
+                f"{cfg.region_feature_size}]; got {frames.shape} / "
+                f"{regions.shape}"
+            })
         if vids is None:
             vids = np.arange(frames.shape[0])
         greedy = "greedy=1" in query or "greedy=true" in query
         t0 = time.perf_counter()
-        with self.server.device_lock:
-            sentences = self.server.captioner.caption(frames, regions, greedy=greedy)
+        try:
+            with self.server.device_lock:
+                sentences = self.server.captioner.caption(
+                    frames, regions, greedy=greedy
+                )
+        except Exception as e:  # noqa: BLE001 - surface decode failures as 500
+            self.server.record(None, error=True)
+            return self._send(500, {"error": f"decode failed: {type(e).__name__}: {e}"})
         latency = time.perf_counter() - t0
         self.server.record(latency, clips=len(sentences))
         self._send(200, {

@@ -50,6 +50,15 @@ class Vocabulary:
             v.add_word(w)
         return v
 
+    @classmethod
+    def from_idx2word(cls, idx2word) -> "Vocabulary":
+        """Rebuild from a saved id->word list (json / bundle serialization)."""
+        v = cls.__new__(cls)
+        v.idx2word = list(idx2word)
+        v.word2idx = {w: i for i, w in enumerate(v.idx2word)}
+        v.nwords = len(v.idx2word)
+        return v
+
     # ---- serialization ----
     def save_json(self, path: str) -> None:
         with open(path, "w") as f:
@@ -58,12 +67,7 @@ class Vocabulary:
     @classmethod
     def load_json(cls, path: str) -> "Vocabulary":
         with open(path) as f:
-            idx2word = json.load(f)
-        v = cls.__new__(cls)
-        v.idx2word = list(idx2word)
-        v.word2idx = {w: i for i, w in enumerate(v.idx2word)}
-        v.nwords = len(v.idx2word)
-        return v
+            return cls.from_idx2word(json.load(f))
 
     @classmethod
     def load_reference_pkl(cls, path: str) -> "Vocabulary":

@@ -26,16 +26,19 @@ import sys
 from collections import Counter
 
 from dlsg_tpu.metrics.meteor import (
-    FUNCTION_WORDS,
+    get_function_words,  # honors load_function_words_file / env overrides
     get_paraphrase_table,
     get_phrase_table,
     get_synonym_table,
+    maybe_load_env_tables,
 )
 from dlsg_tpu.metrics.stemmer import porter2_stem
 from dlsg_tpu.metrics.tokenizer import ptb_tokenize_line
 
 
 def corpus_words(paths, phrase_counts: Counter = None, max_phrase_len: int = 0) -> Counter:
+    maybe_load_env_tables()  # measure the configuration actually being scored
+    function_words = get_function_words()
     counts: Counter = Counter()
     for path in paths:
         with open(path) as f:
@@ -47,7 +50,7 @@ def corpus_words(paths, phrase_counts: Counter = None, max_phrase_len: int = 0) 
                     continue
                 toks = ptb_tokenize_line(line)
                 for w in toks:
-                    if w not in FUNCTION_WORDS and w.isalpha():
+                    if w not in function_words and w.isalpha():
                         counts[w] += 1
                 if phrase_counts is not None and max_phrase_len > 1:
                     for i in range(len(toks)):

@@ -140,3 +140,14 @@ def test_cli_export_then_serve_bundle(tmp_path, capsys):
 
     # --bundle without a data source is a clear error, not a crash
     assert main(["serve", "--bundle", bundle]) == 2
+
+
+def test_bundle_exact_path_without_npz_suffix(tmp_path):
+    """np.savez appends '.npz' to bare string paths; save_bundle must write
+    EXACTLY the requested path so export --out model.bundle round-trips."""
+    cfg, vocab, params = _tiny_setup()
+    path = str(tmp_path / "model.bundle")
+    save_bundle(path, cfg, vocab, params)
+    assert os.path.exists(path) and not os.path.exists(path + ".npz")
+    cfg2, _, _ = load_bundle(path)
+    assert cfg2 == cfg

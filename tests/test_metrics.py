@@ -592,3 +592,34 @@ def test_custom_synonyms_native_parity(tmp_path, monkeypatch,
         for attr in ("wp_num", "wp_den", "wr_num", "wr_den", "chunks",
                      "raw_matches"):
             assert getattr(nat, attr) == pytest.approx(getattr(py, attr)), (h, r, attr)
+
+
+def test_unrepresentable_custom_table_disables_fast_path(_restore_meteor_tables):
+    """A custom key the C++ group-file format cannot express (embedded tab
+    would be re-tokenized by the native loader) must NOT mark the native
+    mirror as synced — scoring falls back to the Python aligner."""
+    from dlsg_tpu.metrics import meteor as M
+
+    M.set_synonym_table({"a\tb": ["c"]})
+    assert not M._TABLES_NATIVE_SYNCED
+    M.set_synonym_table({"plain": ["words"]})  # representable again
+    from dlsg_tpu import native
+
+    if native.available():
+        assert M._TABLES_NATIVE_SYNCED
+
+
+def test_sync_reuses_one_temp_dir(_restore_meteor_tables):
+    """Repeated table installs overwrite one temp dir instead of leaking a
+    new dlsg_meteor_tables_* per sync."""
+    from dlsg_tpu import native
+    from dlsg_tpu.metrics import meteor as M
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    M.set_paraphrase_table({"aa": ["bb"]})
+    first = M._SYNC_DIR
+    assert first is not None
+    M.set_paraphrase_table({"cc": ["dd"]})
+    M.set_synonym_table({"ee": ["ff"]})
+    assert M._SYNC_DIR == first

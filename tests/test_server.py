@@ -199,3 +199,30 @@ def test_metrics_endpoint(server):
         after["dlsg_request_latency_seconds_count"]
     assert after["dlsg_uptime_seconds"] > 0
     assert after["dlsg_warm"] in (0.0, 1.0)
+
+
+def test_caption_wrong_feature_dims_is_400_and_counted(server):
+    """Dims that pass the ndim check but mismatch the model config get a 400
+    naming the expected shapes (not a dropped connection), and the error is
+    visible in /metrics."""
+    srv, cap, cfg = server
+
+    def errors_total():
+        with urllib.request.urlopen(_url(srv, "/metrics")) as r:
+            for line in r.read().decode().splitlines():
+                if line.startswith("dlsg_errors_total"):
+                    return float(line.split()[1])
+
+    before = errors_total()
+    buf = io.BytesIO()
+    np.savez(
+        buf,
+        frames=np.zeros((1, cfg.max_frames, cfg.feature_size + 3), np.float32),
+        regions=np.zeros((1, cfg.max_frames, cfg.num_obj,
+                          cfg.region_feature_size), np.float32),
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(srv, "/caption", buf.getvalue(), "application/x-npz")
+    assert exc.value.code == 400
+    assert "dims mismatch" in json.loads(exc.value.read())["error"]
+    assert errors_total() == before + 1
