@@ -20,6 +20,9 @@ Subpackages
 - ``train``     : trainers (GAN + CE baseline), optimizers, schedules, GAN lambda
 - ``evaluation``: batched decode + scoring pipeline, result tracking
 - ``parallel``  : mesh / sharding helpers
+- ``serve``     : load-once Captioner (bucketed batches, warmup, fast beam)
+- ``server``    : stdlib HTTP captioning service (/caption, /healthz, /metrics)
+- ``bundle``    : single-file deployment bundles (params + vocab + config)
 """
 
 __version__ = "0.1.0"
