@@ -103,6 +103,16 @@ def main():
     raw_dt = time.perf_counter() - t0
     raw_rate = reps * B / raw_dt
 
+    # scrape /metrics at the end: validates the observability path under the
+    # same load the benchmark just generated
+    host, port = srv.server_address[:2]
+    with urllib.request.urlopen(f"http://{host}:{port}/metrics") as r:
+        scraped = {
+            line.split()[0]: float(line.split()[1])
+            for line in r.read().decode().splitlines()
+            if line and not line.startswith("#")
+        }
+
     http_rate = results[f"http_{B}_per_s"]
     print(json.dumps({
         "metric": "serving_http",
@@ -110,6 +120,9 @@ def main():
         "raw_decode_per_s": round(raw_rate, 1),
         "overhead_pct": round(100 * (raw_rate - http_rate) / raw_rate, 2),
         **results,
+        "metrics_requests_total": scraped.get("dlsg_requests_total"),
+        "metrics_clips_total": scraped.get("dlsg_clips_total"),
+        "metrics_errors_total": scraped.get("dlsg_errors_total"),
         "batch": B,
         "beam": cfg.beam_size,
         "platform": jax.devices()[0].platform,
