@@ -43,6 +43,57 @@ ABBREVIATIONS = frozenset(
 # single tokens at corenlp's PTBTokenizer — the trailing period stays attached
 _ACRONYM = re.compile(r"([a-z]\.){2,}")
 
+# --- Americanize filter ------------------------------------------------------
+# corenlp's PTBLexer default is americanize=true, so the jar invocation at
+# ptbtokenizer.py:28-39 rewrites British spellings to American ones before the
+# captions reach the scorers. This is the caption-relevant subset of corenlp's
+# edu.stanford.nlp.process.Americanize filter: the "-our -> -or" suffix rule
+# (>= 3 letters before "our", with a curated keep-list for words like devour /
+# contour where "-our" is not the British suffix), a word map for derived
+# forms whose "our" is word-internal (favourite, neighbourhood, ...), the
+# "-re -> -er" word list (centre, theatre, litre, ...), and programme(s).
+_OUR_SUFFIXES = ("ouring", "oured", "ours", "our")  # longest first
+_OUR_KEEP = frozenset(
+    """devour devours devoured devouring contour contours contoured detour
+    detours detoured glamour velour velours downpour downpours troubadour
+    troubadours paramour paramours pompadour pompadours tambour""".split()
+)
+_AMERICANIZE = {
+    # internal "our" (not reachable by the suffix rule)
+    "favourite": "favorite", "favourites": "favorite" + "s",
+    "colourful": "colorful", "colourfully": "colorfully",
+    "neighbourhood": "neighborhood", "neighbourhoods": "neighborhoods",
+    "honourable": "honorable", "favourable": "favorable",
+    "behavioural": "behavioral", "labourer": "laborer", "labourers": "laborers",
+    # "our" with a 2-letter prefix (below the suffix rule's >=3 threshold)
+    "odour": "odor", "odours": "odors",
+    # "-re" endings
+    "centre": "center", "centres": "centers", "centred": "centered",
+    "theatre": "theater", "theatres": "theaters",
+    "litre": "liter", "litres": "liters",
+    "metre": "meter", "metres": "meters",
+    "fibre": "fiber", "fibres": "fibers",
+    "calibre": "caliber", "sombre": "somber", "lustre": "luster",
+    "spectre": "specter", "spectres": "specters",
+    "sabre": "saber", "sabres": "sabers",
+    "manoeuvre": "maneuver", "manoeuvres": "maneuvers",
+    # misc
+    "programme": "program", "programmes": "programs",
+}
+
+
+def americanize(tok: str) -> str:
+    """British -> American spelling for one lowercased token (corenlp subset)."""
+    mapped = _AMERICANIZE.get(tok)
+    if mapped is not None:
+        return mapped
+    if tok in _OUR_KEEP or not tok.isalpha():
+        return tok
+    for suf in _OUR_SUFFIXES:
+        if tok.endswith(suf) and len(tok) - len(suf) >= 3:
+            return tok[: -len(suf)] + "or" + suf[3:]
+    return tok
+
 
 def ptb_tokenize_line(line: str, lowercase: bool = True) -> List[str]:
     """Tokenize one sentence with PTB rules (corenlp PTBTokenizer subset).
@@ -111,8 +162,13 @@ def ptb_tokenize_line(line: str, lowercase: bool = True) -> List[str]:
 
     s = _CONTRACTIONS.sub(lambda m: " ".join(g for g in m.groups() if g), s)
 
+    # PTB3 escaping: corenlp 3.4.1's PTBLexer default escapeForwardSlashAsterisk
+    # =true emits "\/" and "\*" inside tokens ("and/or" -> "and\/or")
+    s = s.replace("/", "\\/").replace("*", "\\*")
+
     # final pass: a trailing period becomes its own token unless the token is
-    # a known abbreviation, a single initial (b.), or an ellipsis
+    # a known abbreviation, a single initial (b.), or an ellipsis; word tokens
+    # then pass through the Americanize filter (corenlp default americanize=true)
     toks: List[str] = []
     for tok in s.split():
         if (
@@ -123,10 +179,10 @@ def ptb_tokenize_line(line: str, lowercase: bool = True) -> List[str]:
             and not (len(tok) == 2 and tok[0].isalpha())
             and not _ACRONYM.fullmatch(tok)
         ):
-            toks.append(tok[:-1])
+            toks.append(americanize(tok[:-1]))
             toks.append(".")
         else:
-            toks.append(tok)
+            toks.append(americanize(tok))
     return toks
 
 

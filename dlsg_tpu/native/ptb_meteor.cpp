@@ -224,6 +224,11 @@ std::string ptb_tokenize(const std::string& line, bool lowercase) {
     s = out;
   }
 
+  // PTB3 escaping: corenlp 3.4.1's PTBLexer default escapeForwardSlashAsterisk
+  // =true emits "\/" and "\*" inside tokens ("and/or" -> "and\/or")
+  s = replace_all(s, "/", "\\/");
+  s = replace_all(s, "*", "\\*");
+
   // final pass: a trailing period becomes its own token unless the token is
   // a known abbreviation, a single initial (b.), or an ellipsis
   static const std::set<std::string> kAbbrev = {
@@ -246,6 +251,47 @@ std::string ptb_tokenize(const std::string& line, bool lowercase) {
     }
     return true;
   };
+  // Americanize filter (corenlp PTBLexer default americanize=true) — the same
+  // caption-relevant subset as tokenizer.py: word map for internal-"our" /
+  // "-re" forms, and the "-our -> -or" suffix rule (>=3 letters before "our",
+  // with a keep-list for words like devour/contour).
+  static const std::map<std::string, std::string> kAmericanize = {
+      {"favourite", "favorite"}, {"favourites", "favorites"},
+      {"colourful", "colorful"}, {"colourfully", "colorfully"},
+      {"neighbourhood", "neighborhood"}, {"neighbourhoods", "neighborhoods"},
+      {"honourable", "honorable"}, {"favourable", "favorable"},
+      {"behavioural", "behavioral"}, {"labourer", "laborer"},
+      {"labourers", "laborers"}, {"odour", "odor"}, {"odours", "odors"},
+      {"centre", "center"}, {"centres", "centers"}, {"centred", "centered"},
+      {"theatre", "theater"}, {"theatres", "theaters"},
+      {"litre", "liter"}, {"litres", "liters"},
+      {"metre", "meter"}, {"metres", "meters"},
+      {"fibre", "fiber"}, {"fibres", "fibers"},
+      {"calibre", "caliber"}, {"sombre", "somber"}, {"lustre", "luster"},
+      {"spectre", "specter"}, {"spectres", "specters"},
+      {"sabre", "saber"}, {"sabres", "sabers"},
+      {"manoeuvre", "maneuver"}, {"manoeuvres", "maneuvers"},
+      {"programme", "program"}, {"programmes", "programs"},
+  };
+  static const std::set<std::string> kOurKeep = {
+      "devour", "devours", "devoured", "devouring", "contour", "contours",
+      "contoured", "detour", "detours", "detoured", "glamour", "velour",
+      "velours", "downpour", "downpours", "troubadour", "troubadours",
+      "paramour", "paramours", "pompadour", "pompadours", "tambour"};
+  auto americanize = [](const std::string& t) -> std::string {
+    auto it = kAmericanize.find(t);
+    if (it != kAmericanize.end()) return it->second;
+    if (kOurKeep.count(t)) return t;
+    for (char c : t)
+      if (!std::isalpha((unsigned char)c)) return t;
+    static const char* sufs[] = {"ouring", "oured", "ours", "our"};  // longest first
+    for (const char* suf : sufs) {
+      size_t n = std::strlen(suf);
+      if (t.size() >= n + 3 && t.compare(t.size() - n, n, suf) == 0)
+        return t.substr(0, t.size() - n) + "or" + std::string(suf + 3);
+    }
+    return t;
+  };
   std::istringstream iss(s);
   std::string tok, out;
   auto emit = [&out](const std::string& t) {
@@ -257,10 +303,10 @@ std::string ptb_tokenize(const std::string& line, bool lowercase) {
     if (tok.size() > 1 && tok.back() == '.' && !all_dots && !kAbbrev.count(tok) &&
         !(tok.size() == 2 && std::isalpha((unsigned char)tok[0])) &&
         !is_acronym(tok)) {
-      emit(tok.substr(0, tok.size() - 1));
+      emit(americanize(tok.substr(0, tok.size() - 1)));
       emit(".");
     } else {
-      emit(tok);
+      emit(americanize(tok));
     }
   }
   return out;

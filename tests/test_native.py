@@ -115,10 +115,13 @@ def test_tokenizer_fuzz_python_cpp_identity(monkeypatch):
 
     if not native.available():
         pytest.skip("native library unavailable")
-    alphabet = string.ascii_lowercase + string.digits + " .,;:!?'\"()-&%$#@{}[]"
+    alphabet = string.ascii_lowercase + string.digits + " .,;:!?'\"()-&%$#@{}[]/*"
     rng = random.Random(3)
     words = ["don't", "it's", "u.s.", "2,500", "10:30", "a&b", "...", "--",
-             "cat", "dog's", "dogs'", "(hi)", '"q"', "'x'", "e.g.", "3.5"]
+             "cat", "dog's", "dogs'", "(hi)", '"q"', "'x'", "e.g.", "3.5",
+             "and/or", "3/4", "*hi*", "colour", "colours", "colouring",
+             "favourite", "theatre", "devour", "flour", "hour", "centre",
+             "neighbourhood", "detour", "velour", "programme", "honours."]
     for _ in range(300):
         if rng.random() < 0.5:
             s = "".join(rng.choices(alphabet, k=rng.randint(0, 60)))
