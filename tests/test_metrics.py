@@ -623,3 +623,45 @@ def test_sync_reuses_one_temp_dir(_restore_meteor_tables):
     M.set_paraphrase_table({"cc": ["dd"]})
     M.set_synonym_table({"ee": ["ff"]})
     assert M._SYNC_DIR == first
+
+
+def test_shipped_tables_have_no_dead_pairs_under_stage_precedence():
+    """METEOR's stages run in precedence order (exact > stem > synonym >
+    paraphrase, meteor.py:66), so a paraphrase pair whose words all already
+    match at a higher stage can never fire. Lock the shipped tables free of
+    such dead entries: word-paraphrase pairs must not be exact/stem/synonym
+    matched, and equal-length phrase pairs must differ in at least one
+    position under those higher stages."""
+    from dlsg_tpu.metrics.meteor import (
+        get_paraphrase_table,
+        get_phrase_table,
+        get_synonym_table,
+    )
+    from dlsg_tpu.metrics.stemmer import porter2_stem
+
+    syn = get_synonym_table()
+
+    def matched_higher(a: str, b: str) -> bool:
+        if a == b:
+            return True
+        if porter2_stem(a) == porter2_stem(b):
+            return True
+        return b in syn.get(a, ()) or a in syn.get(b, ())
+
+    dead = []
+    for word, equivs in get_paraphrase_table().items():
+        for other in equivs:
+            if matched_higher(word, other):
+                dead.append((word, other))
+    assert not dead, f"word-paraphrase pairs dead under higher stages: {dead}"
+
+    dead = []
+    for phrase, equivs in get_phrase_table().items():
+        words = phrase.split()
+        for other in equivs:
+            ow = other.split()
+            if len(ow) == len(words) and all(
+                matched_higher(a, b) for a, b in zip(words, ow)
+            ):
+                dead.append((phrase, other))
+    assert not dead, f"phrase pairs dead under higher stages: {dead}"
