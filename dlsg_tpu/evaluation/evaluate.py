@@ -391,8 +391,11 @@ def evaluate(
     """
     ids_chunks, vid_chunks, alpha_chunks = [], [], []
     start = time.time()
-    for batch in eval_iter:
-        out = decode_fn(variables, jnp.asarray(batch["frames"]), jnp.asarray(batch["regions"]))
+
+    def _consume(out, batch):
+        # np.asarray is the only true synchronization point on the remote-TPU
+        # relay (CLAUDE.md), so it sits here, AFTER the next batch's decode has
+        # already been dispatched.
         if isinstance(out, tuple):
             ids, alphas = out
             alphas = np.asarray(alphas)
@@ -405,6 +408,20 @@ def evaluate(
         vid_chunks.append(vids[valid])
         if alphas is not None:
             alpha_chunks.append(alphas[valid])
+
+    # One-batch lookahead: dispatch batch k+1's decode (async under jax's
+    # deferred execution) BEFORE blocking on batch k's device->host fetch, so
+    # device compute overlaps the fetch + host-side bookkeeping instead of
+    # serializing with them. Results are consumed in order, so output
+    # ordering is identical to the plain loop.
+    pending = None
+    for batch in eval_iter:
+        out = decode_fn(variables, jnp.asarray(batch["frames"]), jnp.asarray(batch["regions"]))
+        if pending is not None:
+            _consume(*pending)
+        pending = (out, batch)
+    if pending is not None:
+        _consume(*pending)
     if ids_chunks:
         ids_all = np.concatenate(ids_chunks, axis=0)
         vids_all = np.concatenate(vid_chunks, axis=0)

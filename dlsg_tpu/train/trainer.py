@@ -333,6 +333,46 @@ class RunGAN(_TrainerBase):
             schedule = saving_schedule(epoch, total_step, cfg.dataset)
             epsilon = scheduled_sampling_epsilon(cfg.ss_factor, epoch, "msvd")
 
+            # One-step-lagged metric consumption: step i's decode of metrics
+            # (the only host sync) happens AFTER step i+1 has been dispatched,
+            # so the device->host fetch + logging overlap the next step's
+            # device time instead of serializing with it (a full relay RTT
+            # per step in this environment). Log content and ordering are
+            # identical to the eager loop.
+            def _consume(p):
+                nonlocal loss_count, loss_count_g, loss_count_d
+                i, global_step, metrics, vid0, cap0 = p
+                cap_loss = float(metrics["cap_loss"])  # host sync
+                if self.use_visual_gan:
+                    gan_lambda = float(metrics["gan_lambda"])
+                    loss_count_g += float(metrics["loss_G"])
+                    loss_count_d += float(metrics["loss_D"])
+                    self.writer.add_scalar("Loss/G_v_loss", float(metrics["loss_G"]), global_step)
+                    self.writer.add_scalar("Loss/D_loss_visual", float(metrics["loss_D"]), global_step)
+                    self.writer.add_scalar(
+                        "Loss/wasserstein_visual", float(metrics["wasserstein"]), global_step
+                    )
+                    self.writer.add_scalar("parameter/gan_lambda", gan_lambda, global_step)
+                loss_count += cap_loss
+                self.writer.add_scalar("Loss/cap_loss", cap_loss, global_step)
+
+                if i % cfg.log_every == 0:  # run_gun.py:236-261
+                    n = float(cfg.log_every)
+                    msg = (
+                        f"Epoch [{epoch}/{cfg.epoch_num}], Step [{i}/{total_step}], "
+                        f"Loss: {loss_count / n:.4f}, "
+                        f"Perplexity: {np.exp(loss_count / n):.4f}"
+                    )
+                    if self.use_visual_gan:
+                        msg += f", loss_G: {loss_count_g / n:.4f}, loss_D: {loss_count_d / n:.4f}"
+                    loss_count = loss_count_g = loss_count_d = 0.0
+                    self._print(msg)
+                    we = self.vocab.decode_tokens(np.asarray(metrics["sample_tokens"]))
+                    gt = self.vocab.decode_tokens(np.asarray(cap0))
+                    self._print(f"[vid:{vid0}]")
+                    self._print(f"WE: {we}\nGT: {gt}")
+
+            pending = None
             for i, batch in enumerate(self._batches(epoch, num_shards, shard_index), start=1):
                 if cfg.dataset == "msr-vtt":  # per-step variant (run_gun.py:149-151)
                     epsilon = scheduled_sampling_epsilon(
@@ -366,40 +406,22 @@ class RunGAN(_TrainerBase):
                         self.gen_state, metrics = self.ce_step(
                             self.gen_state, step_batch, step_rng, jnp.float32(epsilon)
                         )
-                    cap_loss = float(metrics["cap_loss"])  # host sync ends the span
+                    if pending is not None:
+                        _consume(pending)  # syncs on step i-1 while i runs
+                pending = (
+                    i, global_step, metrics,
+                    int(batch["video_ids"][0]), np.asarray(batch["captions"][0]),
+                )
                 if self._trace_active and i >= 5:
+                    _consume(pending)  # let step i finish so the trace is whole
+                    pending = None
                     jax.profiler.stop_trace()
                     self._trace_active = False
-                if self.use_visual_gan:
-                    gan_lambda = float(metrics["gan_lambda"])
-                    loss_count_g += float(metrics["loss_G"])
-                    loss_count_d += float(metrics["loss_D"])
-                    self.writer.add_scalar("Loss/G_v_loss", float(metrics["loss_G"]), global_step)
-                    self.writer.add_scalar("Loss/D_loss_visual", float(metrics["loss_D"]), global_step)
-                    self.writer.add_scalar(
-                        "Loss/wasserstein_visual", float(metrics["wasserstein"]), global_step
-                    )
-                    self.writer.add_scalar("parameter/gan_lambda", gan_lambda, global_step)
-                loss_count += cap_loss
-                self.writer.add_scalar("Loss/cap_loss", cap_loss, global_step)
-
-                if i % cfg.log_every == 0:  # run_gun.py:236-261
-                    n = float(cfg.log_every)
-                    msg = (
-                        f"Epoch [{epoch}/{cfg.epoch_num}], Step [{i}/{total_step}], "
-                        f"Loss: {loss_count / n:.4f}, "
-                        f"Perplexity: {np.exp(loss_count / n):.4f}"
-                    )
-                    if self.use_visual_gan:
-                        msg += f", loss_G: {loss_count_g / n:.4f}, loss_D: {loss_count_d / n:.4f}"
-                    loss_count = loss_count_g = loss_count_d = 0.0
-                    self._print(msg)
-                    we = self.vocab.decode_tokens(np.asarray(metrics["sample_tokens"]))
-                    gt = self.vocab.decode_tokens(np.asarray(batch["captions"][0]))
-                    self._print(f"[vid:{int(batch['video_ids'][0])}]")
-                    self._print(f"WE: {we}\nGT: {gt}")
 
                 if i in schedule:  # mid-epoch eval (run_gun.py:262-310)
+                    if pending is not None:
+                        _consume(pending)
+                        pending = None
                     variables = {"params": self.gen_state.params}
                     scores, trigger = self._run_eval(variables, epoch, global_step)
                     if trigger and self.is_leader and self.result_handler.save_enabled:
@@ -413,6 +435,9 @@ class RunGAN(_TrainerBase):
                             lambda_state=self.lambda_state,
                         )
 
+            if pending is not None:  # flush the last step's lagged metrics
+                _consume(pending)
+                pending = None
             if self._trace_active:  # epoch had <5 batches; don't leak the trace
                 jax.profiler.stop_trace()
                 self._trace_active = False
@@ -457,6 +482,23 @@ class Run(_TrainerBase):
             self._print(f"Epoch-{epoch} lr: {lr}")
             epsilon = scheduled_sampling_epsilon(cfg.ss_factor, epoch)
             schedule = saving_schedule(epoch, total_step, cfg.dataset)
+            # same one-step-lagged metric consumption as RunGAN.train: the
+            # host sync on step i's loss happens after step i+1 is dispatched
+            def _consume(p):
+                nonlocal loss_count
+                i, metrics = p
+                cap_loss = float(metrics["cap_loss"])  # host sync
+                loss_count += cap_loss
+                self.writer.add_scalar("Loss/cap_loss", cap_loss, i + epoch * total_step)
+                if i % cfg.log_every == 0:
+                    n = float(cfg.log_every)
+                    self._print(
+                        f"Epoch [{epoch}/{cfg.epoch_num}], Step [{i}/{total_step}], "
+                        f"Loss: {loss_count / n:.4f}, Perplexity: {np.exp(loss_count / n):.4f}"
+                    )
+                    loss_count = 0.0
+
+            pending = None
             for i, batch in enumerate(self._batches(epoch, num_shards, shard_index), start=1):
                 self.rng, step_rng = jax.random.split(self.rng)
                 step_batch = {
@@ -465,20 +507,16 @@ class Run(_TrainerBase):
                 self.gen_state, metrics = self.ce_step(
                     self.gen_state, step_batch, step_rng, jnp.float32(epsilon)
                 )
-                loss_count += float(metrics["cap_loss"])
-                self.writer.add_scalar(
-                    "Loss/cap_loss", float(metrics["cap_loss"]), i + epoch * total_step
-                )
-                if i % cfg.log_every == 0:
-                    n = float(cfg.log_every)
-                    self._print(
-                        f"Epoch [{epoch}/{cfg.epoch_num}], Step [{i}/{total_step}], "
-                        f"Loss: {loss_count / n:.4f}, Perplexity: {np.exp(loss_count / n):.4f}"
-                    )
-                    loss_count = 0.0
+                if pending is not None:
+                    _consume(pending)  # syncs on step i-1 while i runs
+                pending = (i, metrics)
                 if i in schedule:
+                    _consume(pending)
+                    pending = None
                     variables = {"params": self.gen_state.params}
                     self._run_eval(variables, epoch, i + epoch * total_step)
+            if pending is not None:
+                _consume(pending)
             self.result_handler.print_results()
             self._print(f"*******One epoch time: {time.time() - start:.3f}s*******\n")
         return self.result_handler
