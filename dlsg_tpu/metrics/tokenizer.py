@@ -28,15 +28,31 @@ _CONTRACTIONS = re.compile(
     re.IGNORECASE,
 )
 
-# Common abbreviations whose trailing period stays attached (corenlp keeps
-# lexicon abbreviations as single tokens; this is the caption-relevant subset).
+# Abbreviations whose trailing period stays attached (corenlp keeps lexicon
+# abbreviations as single tokens). Mirrors the PTBLexer abbreviation classes
+# (personal titles, months, streets, US states, company suffixes, Latin/
+# scholarly, measures), lowercased, minus entries that collide with common
+# sentence-final caption words ("sat.", "sun.", "wed.", "in.") — corenlp
+# disambiguates those with lookahead context this line-oriented tokenizer
+# doesn't model, and mis-gluing a period onto a real word is the worse error.
+# Two-letter initials ("b.") need no entry: the single-initial rule keeps them.
 ABBREVIATIONS = frozenset(
     """dr. mr. mrs. ms. st. jr. sr. prof. gen. gov. sgt. capt. rev. hon.
     u.s. u.k. e.g. i.e. etc. ft. lb. lbs. oz. vs. v. co. inc. ltd. no.
     dept. approx. min. max. sec. hr. a.m. p.m.
     mt. ave. blvd. rd. lt. col. maj. adm. sen. rep. pres. supt. det.
     jan. feb. mar. apr. jun. jul. aug. sept. oct. nov. dec.
-    est. fig. misc. vol. ch. pp. ed. univ. assn. bros. corp. mfg. ph.d.""".split()
+    est. fig. misc. vol. ch. pp. ed. univ. assn. bros. corp. mfg. ph.d.
+    adj. adm. adv. asst. bldg. brig. cmdr. comdr. cpl. drs. ens. insp.
+    messrs. mlle. mme. msgr. pfc. pvt. reps. sens. sfc. surg. atty. attys.
+    esq. sep. tues. thurs.
+    ala. ariz. ark. calif. colo. conn. dak. del. fla. ind. kan. kans.
+    mich. minn. mont. neb. nebr. nev. okla. ore. penn. penna. tenn. tex.
+    wis. wisc. wyo.
+    cos. mfrs. mkt. pty. plc. dist. distrib. hwy. fwy. pkwy. tpke. rte.
+    cf. al. seq. viz. ibid. orig. incl. nos.
+    kg. km. cm. mm. mi. gal. qt. hrs. mins. secs. tsp. tbsp. sq. cu.
+    exec. govt. natl. intl. admin. assoc. bldgs. mts. sts. rds.""".split()
 )
 
 # single-letter acronyms with internal periods ("u.s.a.", "t.v.", "o.k.") are

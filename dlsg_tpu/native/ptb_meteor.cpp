@@ -231,6 +231,7 @@ std::string ptb_tokenize(const std::string& line, bool lowercase) {
 
   // final pass: a trailing period becomes its own token unless the token is
   // a known abbreviation, a single initial (b.), or an ellipsis
+  // keep in sync with tokenizer.py ABBREVIATIONS (test_abbreviation_engine_sync)
   static const std::set<std::string> kAbbrev = {
       "dr.", "mr.", "mrs.", "ms.", "st.", "jr.", "sr.", "prof.", "gen.",
       "gov.", "sgt.", "capt.", "rev.", "hon.", "u.s.", "u.k.", "e.g.",
@@ -241,7 +242,22 @@ std::string ptb_tokenize(const std::string& line, bool lowercase) {
       "rep.", "pres.", "supt.", "det.", "jan.", "feb.", "mar.", "apr.",
       "jun.", "jul.", "aug.", "sept.", "oct.", "nov.", "dec.", "est.",
       "fig.", "misc.", "vol.", "ch.", "pp.", "ed.", "univ.", "assn.",
-      "bros.", "corp.", "mfg.", "ph.d."};
+      "bros.", "corp.", "mfg.", "ph.d.",
+      "adj.", "adv.", "asst.", "bldg.", "brig.", "cmdr.", "comdr.", "cpl.",
+      "drs.", "ens.", "insp.", "messrs.", "mlle.", "mme.", "msgr.", "pfc.",
+      "pvt.", "reps.", "sens.", "sfc.", "surg.", "atty.", "attys.", "esq.",
+      "sep.", "tues.", "thurs.",
+      "ala.", "ariz.", "ark.", "calif.", "colo.", "conn.", "dak.", "del.",
+      "fla.", "ind.", "kan.", "kans.", "mich.", "minn.", "mont.", "neb.",
+      "nebr.", "nev.", "okla.", "ore.", "penn.", "penna.", "tenn.", "tex.",
+      "wis.", "wisc.", "wyo.",
+      "cos.", "mfrs.", "mkt.", "pty.", "plc.", "dist.", "distrib.", "hwy.",
+      "fwy.", "pkwy.", "tpke.", "rte.",
+      "cf.", "al.", "seq.", "viz.", "ibid.", "orig.", "incl.", "nos.",
+      "kg.", "km.", "cm.", "mm.", "mi.", "gal.", "qt.", "hrs.", "mins.",
+      "secs.", "tsp.", "tbsp.", "sq.", "cu.",
+      "exec.", "govt.", "natl.", "intl.", "admin.", "assoc.", "bldgs.",
+      "mts.", "sts.", "rds."};
   // single-letter acronyms with internal periods ("u.s.a.", "t.v.") are
   // single tokens at corenlp — mirror tokenizer.py's _ACRONYM rule
   auto is_acronym = [](const std::string& t) {

@@ -108,6 +108,21 @@ def test_tokenizer_corpus_lock(monkeypatch):
         monkeypatch.undo()
 
 
+def test_abbreviation_engine_sync(monkeypatch):
+    """Every entry of tokenizer.ABBREVIATIONS must behave identically in the
+    C++ and Python engines, mid-sentence and sentence-final — catches a lexicon
+    entry added to one engine's hardcoded set but not the other."""
+    for abbr in sorted(t.ABBREVIATIONS):
+        for sent in (f"a {abbr} b", f"see the {abbr}"):
+            nat = t.ptb_tokenize_line(sent)
+            monkeypatch.setattr(native, "ptb_tokenize", lambda x, lowercase=True: None)
+            py = t.ptb_tokenize_line(sent)
+            monkeypatch.undo()
+            assert nat == py, (abbr, sent, nat, py)
+            # and the period must actually stay attached (lexicon semantics)
+            assert abbr in py, (abbr, sent, py)
+
+
 def test_tokenizer_fuzz_python_cpp_identity(monkeypatch):
     """Random ASCII strings: the C++ tokenizer must equal the Python one."""
     import random
@@ -121,7 +136,8 @@ def test_tokenizer_fuzz_python_cpp_identity(monkeypatch):
              "cat", "dog's", "dogs'", "(hi)", '"q"', "'x'", "e.g.", "3.5",
              "and/or", "3/4", "*hi*", "colour", "colours", "colouring",
              "favourite", "theatre", "devour", "flour", "hour", "centre",
-             "neighbourhood", "detour", "velour", "programme", "honours."]
+             "neighbourhood", "detour", "velour", "programme", "honours.",
+             "tsp.", "hwy.", "messrs.", "nos.", "sat.", "wash.", "calif."]
     for _ in range(300):
         if rng.random() < 0.5:
             s = "".join(rng.choices(alphabet, k=rng.randint(0, 60)))
