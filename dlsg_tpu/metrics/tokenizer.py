@@ -32,7 +32,8 @@ _CONTRACTIONS = re.compile(
 # abbreviations as single tokens). Mirrors the PTBLexer abbreviation classes
 # (personal titles, months, streets, US states, company suffixes, Latin/
 # scholarly, measures), lowercased, minus entries that collide with common
-# sentence-final caption words ("sat.", "sun.", "wed.", "in.") — corenlp
+# sentence-final caption words ("sat.", "sun.", "wed.", "in.", "reps.",
+# "ore.", "gal.", "brig.", "ark.") — corenlp
 # disambiguates those with lookahead context this line-oriented tokenizer
 # doesn't model, and mis-gluing a period onto a real word is the worse error.
 # Two-letter initials ("b.") need no entry: the single-initial rule keeps them.
@@ -43,15 +44,15 @@ ABBREVIATIONS = frozenset(
     mt. ave. blvd. rd. lt. col. maj. adm. sen. rep. pres. supt. det.
     jan. feb. mar. apr. jun. jul. aug. sept. oct. nov. dec.
     est. fig. misc. vol. ch. pp. ed. univ. assn. bros. corp. mfg. ph.d.
-    adj. adm. adv. asst. bldg. brig. cmdr. comdr. cpl. drs. ens. insp.
-    messrs. mlle. mme. msgr. pfc. pvt. reps. sens. sfc. surg. atty. attys.
+    adj. adm. adv. asst. bldg. cmdr. comdr. cpl. drs. ens. insp.
+    messrs. mlle. mme. msgr. pfc. pvt. sens. sfc. surg. atty. attys.
     esq. sep. tues. thurs.
-    ala. ariz. ark. calif. colo. conn. dak. del. fla. ind. kan. kans.
-    mich. minn. mont. neb. nebr. nev. okla. ore. penn. penna. tenn. tex.
+    ala. ariz. calif. colo. conn. dak. del. fla. ind. kan. kans.
+    mich. minn. mont. neb. nebr. nev. okla. penn. penna. tenn. tex.
     wis. wisc. wyo.
     cos. mfrs. mkt. pty. plc. dist. distrib. hwy. fwy. pkwy. tpke. rte.
     cf. al. seq. viz. ibid. orig. incl. nos.
-    kg. km. cm. mm. mi. gal. qt. hrs. mins. secs. tsp. tbsp. sq. cu.
+    kg. km. cm. mm. mi. qt. hrs. mins. secs. tsp. tbsp. sq. cu.
     exec. govt. natl. intl. admin. assoc. bldgs. mts. sts. rds.""".split()
 )
 
@@ -70,9 +71,10 @@ _ACRONYM = re.compile(r"([a-z]\.){2,}")
 # "-re -> -er" word list (centre, theatre, litre, ...), and programme(s).
 _OUR_SUFFIXES = ("ouring", "oured", "ours", "our")  # longest first
 _OUR_KEEP = frozenset(
-    """devour devours devoured devouring contour contours contoured detour
-    detours detoured glamour velour velours downpour downpours troubadour
-    troubadours paramour paramours pompadour pompadours tambour""".split()
+    """devour devours devoured devouring contour contours contoured contouring
+    detour detours detoured detouring glamour glamours velour velours
+    downpour downpours troubadour troubadours paramour paramours pompadour
+    pompadours tambour tambours""".split()
 )
 _AMERICANIZE = {
     # internal "our" (not reachable by the suffix rule)
@@ -103,7 +105,10 @@ def americanize(tok: str) -> str:
     mapped = _AMERICANIZE.get(tok)
     if mapped is not None:
         return mapped
-    if tok in _OUR_KEEP or not tok.isalpha():
+    # ASCII-only gate (matching the C++ engine's byte-wise isalpha): the
+    # suffix rule must never fire on accented tokens ("séjour") in one engine
+    # and not the other
+    if tok in _OUR_KEEP or not tok.isascii() or not tok.isalpha():
         return tok
     for suf in _OUR_SUFFIXES:
         if tok.endswith(suf) and len(tok) - len(suf) >= 3:

@@ -243,18 +243,18 @@ std::string ptb_tokenize(const std::string& line, bool lowercase) {
       "jun.", "jul.", "aug.", "sept.", "oct.", "nov.", "dec.", "est.",
       "fig.", "misc.", "vol.", "ch.", "pp.", "ed.", "univ.", "assn.",
       "bros.", "corp.", "mfg.", "ph.d.",
-      "adj.", "adv.", "asst.", "bldg.", "brig.", "cmdr.", "comdr.", "cpl.",
+      "adj.", "adv.", "asst.", "bldg.", "cmdr.", "comdr.", "cpl.",
       "drs.", "ens.", "insp.", "messrs.", "mlle.", "mme.", "msgr.", "pfc.",
-      "pvt.", "reps.", "sens.", "sfc.", "surg.", "atty.", "attys.", "esq.",
+      "pvt.", "sens.", "sfc.", "surg.", "atty.", "attys.", "esq.",
       "sep.", "tues.", "thurs.",
-      "ala.", "ariz.", "ark.", "calif.", "colo.", "conn.", "dak.", "del.",
+      "ala.", "ariz.", "calif.", "colo.", "conn.", "dak.", "del.",
       "fla.", "ind.", "kan.", "kans.", "mich.", "minn.", "mont.", "neb.",
-      "nebr.", "nev.", "okla.", "ore.", "penn.", "penna.", "tenn.", "tex.",
+      "nebr.", "nev.", "okla.", "penn.", "penna.", "tenn.", "tex.",
       "wis.", "wisc.", "wyo.",
       "cos.", "mfrs.", "mkt.", "pty.", "plc.", "dist.", "distrib.", "hwy.",
       "fwy.", "pkwy.", "tpke.", "rte.",
       "cf.", "al.", "seq.", "viz.", "ibid.", "orig.", "incl.", "nos.",
-      "kg.", "km.", "cm.", "mm.", "mi.", "gal.", "qt.", "hrs.", "mins.",
+      "kg.", "km.", "cm.", "mm.", "mi.", "qt.", "hrs.", "mins.",
       "secs.", "tsp.", "tbsp.", "sq.", "cu.",
       "exec.", "govt.", "natl.", "intl.", "admin.", "assoc.", "bldgs.",
       "mts.", "sts.", "rds."};
@@ -291,9 +291,11 @@ std::string ptb_tokenize(const std::string& line, bool lowercase) {
   };
   static const std::set<std::string> kOurKeep = {
       "devour", "devours", "devoured", "devouring", "contour", "contours",
-      "contoured", "detour", "detours", "detoured", "glamour", "velour",
+      "contoured", "contouring", "detour", "detours", "detoured", "detouring",
+      "glamour", "glamours", "velour",
       "velours", "downpour", "downpours", "troubadour", "troubadours",
-      "paramour", "paramours", "pompadour", "pompadours", "tambour"};
+      "paramour", "paramours", "pompadour", "pompadours", "tambour",
+      "tambours"};
   auto americanize = [](const std::string& t) -> std::string {
     auto it = kAmericanize.find(t);
     if (it != kAmericanize.end()) return it->second;

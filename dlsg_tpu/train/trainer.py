@@ -341,7 +341,7 @@ class RunGAN(_TrainerBase):
             # identical to the eager loop.
             def _consume(p):
                 nonlocal loss_count, loss_count_g, loss_count_d
-                i, global_step, metrics, vid0, cap0 = p
+                i, global_step, metrics, vid0, caps = p
                 cap_loss = float(metrics["cap_loss"])  # host sync
                 if self.use_visual_gan:
                     gan_lambda = float(metrics["gan_lambda"])
@@ -368,7 +368,11 @@ class RunGAN(_TrainerBase):
                     loss_count = loss_count_g = loss_count_d = 0.0
                     self._print(msg)
                     we = self.vocab.decode_tokens(np.asarray(metrics["sample_tokens"]))
-                    gt = self.vocab.decode_tokens(np.asarray(cap0))
+                    # caps may be device-staged (prefetch_to_device); fetch
+                    # row 0 here, on log steps only — fetching it every step
+                    # in the loop body would re-add the per-step relay sync
+                    # the lagged-consume structure exists to avoid
+                    gt = self.vocab.decode_tokens(np.asarray(caps[0]))
                     self._print(f"[vid:{vid0}]")
                     self._print(f"WE: {we}\nGT: {gt}")
 
@@ -410,7 +414,7 @@ class RunGAN(_TrainerBase):
                         _consume(pending)  # syncs on step i-1 while i runs
                 pending = (
                     i, global_step, metrics,
-                    int(batch["video_ids"][0]), np.asarray(batch["captions"][0]),
+                    int(batch["video_ids"][0]), batch["captions"],
                 )
                 if self._trace_active and i >= 5:
                     _consume(pending)  # let step i finish so the trace is whole
