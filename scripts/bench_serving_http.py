@@ -105,13 +105,12 @@ def main():
 
     # scrape /metrics at the end: validates the observability path under the
     # same load the benchmark just generated
-    host, port = srv.server_address[:2]
     with urllib.request.urlopen(f"http://{host}:{port}/metrics") as r:
-        scraped = {
-            line.split()[0]: float(line.split()[1])
-            for line in r.read().decode().splitlines()
-            if line and not line.startswith("#")
-        }
+        scraped = {}
+        for line in r.read().decode().splitlines():
+            if line and not line.startswith("#"):
+                name, value = line.split()
+                scraped[name] = float(value)
 
     http_rate = results[f"http_{B}_per_s"]
     print(json.dumps({

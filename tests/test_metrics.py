@@ -665,3 +665,40 @@ def test_shipped_tables_have_no_dead_pairs_under_stage_precedence():
             ):
                 dead.append((phrase, other))
     assert not dead, f"phrase pairs dead under higher stages: {dead}"
+
+
+def test_shipped_tables_have_no_duplicate_or_subset_groups():
+    """Each data-file line is one equivalence group. A line whose member set
+    exactly repeats — or is a strict subset of — another line adds nothing
+    (the loaders merge groups per head word/phrase), and duplicated groups
+    have twice bitten curation: batches re-added existing groups, and the
+    round-4 cleanup removed 20 such lines. Lock the raw files clean."""
+    import os
+
+    import dlsg_tpu.metrics.meteor as m
+
+    for path in (m._SYNONYMS_PATH, m._PARAPHRASES_PATH, m._PHRASES_PATH):
+        groups = []  # (lineno, frozenset of members)
+        with open(path, encoding="utf-8") as fh:
+            for lineno, line in enumerate(fh, 1):
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                sep = "|||" if "|||" in line else None
+                members = frozenset(
+                    p.strip() for p in (line.split("|||") if sep else line.split())
+                )
+                groups.append((lineno, members))
+        name = os.path.basename(path)
+        seen = {}
+        for lineno, key in groups:
+            assert key not in seen, (
+                f"{name}:{lineno} duplicates line {seen[key]}: {sorted(key)}"
+            )
+            seen[key] = lineno
+        for i, (ln_a, a) in enumerate(groups):
+            for ln_b, b in groups:
+                assert not (ln_a != ln_b and a < b), (
+                    f"{name}:{ln_a} {sorted(a)} is a strict subset of "
+                    f"{name}:{ln_b} {sorted(b)}"
+                )
