@@ -109,8 +109,9 @@ def main():
         scraped = {}
         for line in r.read().decode().splitlines():
             if line and not line.startswith("#"):
-                name, value = line.split()
-                scraped[name] = float(value)
+                # tolerate >2 fields (Prometheus lines may carry timestamps)
+                parts = line.split()
+                scraped[parts[0]] = float(parts[1])
 
     http_rate = results[f"http_{B}_per_s"]
     print(json.dumps({

@@ -702,3 +702,58 @@ def test_shipped_tables_have_no_duplicate_or_subset_groups():
                     f"{name}:{ln_a} {sorted(a)} is a strict subset of "
                     f"{name}:{ln_b} {sorted(b)}"
                 )
+
+
+def test_meteor_table_coverage_gate():
+    """Coverage regression gate (VERDICT r4 #5): the shipped default tables'
+    stage-2/3 coverage of the locked tokenizer-corpus vocabulary must not rot.
+
+    Floors are the measured round-5 values (scripts/meteor_coverage.py over
+    tests/fixtures/tokenizer_corpus.tsv). Covered-TYPE counts are monotone in
+    corpus growth, so extending the corpus can only raise them — a failure
+    here means table entries were removed or the loaders broke. Content
+    parity beyond these tables comes from the official-resource loaders
+    (load_synonym_file / load_paraphrase_file), not further hand-curation.
+    """
+    import os
+
+    from dlsg_tpu.metrics.meteor import (
+        get_function_words,
+        get_paraphrase_table,
+        get_phrase_table,
+        get_synonym_table,
+    )
+    from dlsg_tpu.metrics.stemmer import porter2_stem
+    from dlsg_tpu.metrics.tokenizer import ptb_tokenize_line
+
+    corpus = os.path.join(os.path.dirname(__file__), "fixtures", "tokenizer_corpus.tsv")
+    function_words = get_function_words()
+    words = set()
+    spans = set()
+    with open(corpus, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if "\t" in line:
+                line = line.split("\t", 1)[1]
+            toks = ptb_tokenize_line(line)
+            words.update(w for w in toks if w.isalpha() and w not in function_words)
+            for i in range(len(toks)):
+                for L in (2, 3, 4):
+                    if i + L <= len(toks):
+                        spans.add(" ".join(toks[i : i + L]))
+
+    syn, para, phrases = get_synonym_table(), get_paraphrase_table(), get_phrase_table()
+
+    def covered(w, table):
+        return w in table or porter2_stem(w) in table
+
+    s2 = sum(1 for w in words if covered(w, syn))
+    s3 = sum(1 for w in words if covered(w, para))
+    any_cov = sum(1 for w in words if covered(w, syn) or covered(w, para))
+    phrase_hits = sum(1 for p in phrases if p in spans)
+
+    assert s2 >= 189, f"stage-2 synonym coverage dropped: {s2} < 189 types"
+    assert s3 >= 52, f"stage-3 paraphrase coverage dropped: {s3} < 52 types"
+    assert any_cov >= 194, f"any-table coverage dropped: {any_cov} < 194 types"
+    assert len(phrases) >= 537, f"phrase table shrank: {len(phrases)} < 537"
+    assert phrase_hits >= 6, f"corpus-occurring phrases dropped: {phrase_hits} < 6"

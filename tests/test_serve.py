@@ -99,6 +99,35 @@ def test_warmup_compiles_every_bucket():
     assert cap._beam_fn._cache_size() == 2
 
 
+def test_warmup_bounds_first_request_latency_for_every_size():
+    """The serving-latency claim (scripts/bench_serving_http.py, VERDICT r4 #8)
+    as a test: after warmup(), EVERY request size 1..B lands on an
+    already-compiled bucket — zero new compiles, so no first-request stall.
+    Compile count is observed through the jit cache size (one entry per
+    compiled input shape)."""
+    cfg = tiny_test_config(test_batch_size=16, beam_size=2)
+    vocab = make_vocab()
+    model = CapGnnModel(cfg, len(vocab))
+    frames0 = jnp.zeros((2, cfg.max_frames, cfg.feature_size))
+    regions0 = jnp.zeros((2, cfg.max_frames, cfg.num_obj, cfg.region_feature_size))
+    caps0 = jnp.zeros((2, cfg.max_words), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), frames0, regions0, caps0)["params"]
+    cap = Captioner.from_params(cfg, vocab, params)
+
+    warmed = cap.warmup()
+    assert warmed == len(cap.bucket_sizes()) == 2
+    compiled_after_warmup = cap._beam_fn._cache_size()
+    rng = np.random.default_rng(11)
+    B = cfg.test_batch_size
+    frames = rng.normal(size=(B, cfg.max_frames, cfg.feature_size))
+    regions = rng.normal(size=(B, cfg.max_frames, cfg.num_obj, cfg.region_feature_size))
+    for n in range(1, B + 1):
+        assert len(cap.caption(frames[:n], regions[:n])) == n
+        assert cap._beam_fn._cache_size() == compiled_after_warmup, (
+            f"request size {n} triggered a new compile"
+        )
+
+
 def test_meshed_captioner_matches_unmeshed(captioner):
     """Captioner(mesh=...) shards each decode bucket over the data axis (the
     multi-chip serving path cli `serve` uses); results are identical to the

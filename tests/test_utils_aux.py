@@ -87,12 +87,14 @@ def test_bench_retry_guard():
         bench._retry_unavailable(ValueError("some other failure"))
 
     # a result was already emitted -> never re-exec, surface the error
-    bench._best_result["metric"] = "x"
+    # (_emit keeps the lock-free _best_json snapshot the guards read)
+    bench._emit({"metric": "x"})
     try:
         with pytest.raises(RuntimeError):
             bench._retry_unavailable(RuntimeError("UNAVAILABLE: TPU backend"))
     finally:
         bench._best_result.clear()
+        bench._best_json = ""
 
 
 def test_bench_attach_watchdog_guards():
@@ -113,9 +115,10 @@ def test_bench_attach_watchdog_guards():
     # result already emitted -> returns without exec (use a tiny deadline)
     old = bench.ATTACH_DEADLINE_S
     bench.ATTACH_DEADLINE_S = 0.01
-    bench._best_result["metric"] = "x"
+    bench._emit({"metric": "x"})
     try:
         bench._attach_watchdog()
     finally:
         bench._best_result.clear()
+        bench._best_json = ""
         bench.ATTACH_DEADLINE_S = old
