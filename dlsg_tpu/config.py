@@ -128,10 +128,8 @@ class DLSGConfig:
     rng_impl: str = "rbg"
     # write a jax.profiler device trace of a few training steps here ("" = off)
     profile_dir: str = ""
-    # beam bookkeeping variants (ops/beam_search.py): single-pass clipped
-    # sumexp and group-max hierarchical top-k
+    # beam bookkeeping variant (ops/beam_search.py): single-pass clipped sumexp
     decode_fast_lse: bool = True
-    decode_grouped_topk: bool = False
     # TPU hardware approximate top-k over the [G, V] beam candidates
     # (jax.lax.approx_max_k). 0.0 = off (exact lax.top_k). NOT exact: a step
     # may miss a candidate with probability ~(1 - recall); opt-in for serving.
@@ -152,13 +150,6 @@ class DLSGConfig:
     # in scripts/bisect_results.jsonl) — the D phase's GP double-backward was
     # the step's hottest residue. False restores plain autodiff.
     gan_gp_custom_vjp: bool = True
-    # store the D phase's dense caption tensors (one-hot real + generator
-    # logits, [B,T,V] — the largest activations in the step) in bfloat16
-    # before the 5 substeps: halves their HBM reads. One-hot is exact in
-    # bf16; the logits lose mantissa EARLIER than the trunk's own bf16
-    # compute would round them — a documented numerics deviation, A/B'd in
-    # scripts/ab_capsbf16_r4.py.
-    gan_caps_bf16: bool = False
     # unroll factor for the num_D-substep lax.scan (1 = rolled loop). An
     # unrolled loop lets XLA overlap substep tails at the cost of num_D x
     # code size; A/B'd in scripts/ab_dphase2_r4.py.

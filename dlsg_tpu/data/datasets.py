@@ -99,6 +99,43 @@ class CaptionDataset:
             "video_ids": np.int32(vid),
         }
 
+    def get_batch(self, idxs) -> dict:
+        """Assemble a whole batch with single-copy h5 reads.
+
+        At real MSR-VTT scale a B=128 batch moves ~1 GiB of region features;
+        the per-sample `__getitem__` path pays that twice (h5 read buffer ->
+        sample array -> np.stack copy). `read_direct` decompresses/copies each
+        video row STRAIGHT into its batch slot, and reads are issued in
+        video-id order for forward-seek locality (the row order within the
+        batch is preserved). train_batches() uses this automatically.
+        """
+        idxs = np.asarray(idxs, np.int64)
+        B = len(idxs)
+        O = self.cfg.num_obj
+        T, F = self.video_feats.shape[1:]
+        _, R = self.region_feats.shape[2:]
+        OS, S = self.spatial_feats.shape[2:]  # spatials keep ALL stored boxes
+        frames = np.empty((B, T, F), np.float32)
+        regions = np.empty((B, T, O, R), np.float32)
+        spatials = np.empty((B, T, OS, S), np.float32)
+        vids = self.video_ids[idxs]
+        for i in np.argsort(vids, kind="stable"):
+            vid = int(vids[i])
+            self.video_feats.read_direct(frames, np.s_[vid], np.s_[i])
+            self.region_feats.read_direct(
+                regions, np.s_[vid, :, :O, :], np.s_[i]
+            )
+            self.spatial_feats.read_direct(spatials, np.s_[vid], np.s_[i])
+        return {
+            "frames": frames,
+            "regions": regions,
+            "spatials": spatials,
+            "captions": self.captions[idxs],
+            "pos_tags": self.pos_tags[idxs],
+            "lengths": self.lengths[idxs],
+            "video_ids": vids.astype(np.int32),
+        }
+
 
 class EvalVideoDataset:
     """Eval dataset: one sample per video over an id range (data.py:69-86)."""
@@ -124,4 +161,30 @@ class EvalVideoDataset:
             ),
             "spatials": np.asarray(self.spatial_feats[vid], np.float32),
             "video_ids": np.int32(vid),
+        }
+
+    def get_batch(self, idxs) -> dict:
+        """Single-copy batch assembly (see CaptionDataset.get_batch)."""
+        idxs = np.asarray(idxs, np.int64)
+        B = len(idxs)
+        O = self.cfg.num_obj
+        T, F = self.video_feats.shape[1:]
+        _, R = self.region_feats.shape[2:]
+        OS, S = self.spatial_feats.shape[2:]  # spatials keep ALL stored boxes
+        frames = np.empty((B, T, F), np.float32)
+        regions = np.empty((B, T, O, R), np.float32)
+        spatials = np.empty((B, T, OS, S), np.float32)
+        vids = np.asarray([self.eval_list[i] for i in idxs], np.int64)
+        for i in np.argsort(vids, kind="stable"):
+            vid = int(vids[i])
+            self.video_feats.read_direct(frames, np.s_[vid], np.s_[i])
+            self.region_feats.read_direct(
+                regions, np.s_[vid, :, :O, :], np.s_[i]
+            )
+            self.spatial_feats.read_direct(spatials, np.s_[vid], np.s_[i])
+        return {
+            "frames": frames,
+            "regions": regions,
+            "spatials": spatials,
+            "video_ids": vids.astype(np.int32),
         }

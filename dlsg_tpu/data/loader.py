@@ -17,7 +17,19 @@ from typing import Dict, Iterator, Optional
 import numpy as np
 
 
-def _stack_batch(dataset, idxs) -> Dict[str, np.ndarray]:
+def _stack_batch(dataset, idxs, use_get_batch: Optional[bool] = None) -> Dict[str, np.ndarray]:
+    """Assemble one dense batch.
+
+    Datasets may provide `get_batch(idxs)` for single-copy batch assembly
+    (CaptionDataset does — h5 `read_direct` straight into the batch array,
+    which measures ~2x the per-sample stack path at real MSR-VTT scale, see
+    BENCHMARKS.md "input pipeline"); `use_get_batch=None` auto-detects it,
+    False forces the per-sample path (kept for arbitrary datasets and tests).
+    """
+    if use_get_batch is None:
+        use_get_batch = hasattr(dataset, "get_batch")
+    if use_get_batch:
+        return dataset.get_batch(idxs)
     samples = [dataset[int(i)] for i in idxs]
     return {k: np.stack([s[k] for s in samples], 0) for k in samples[0]}
 
@@ -31,6 +43,7 @@ def train_batches(
     shard_index: int = 0,
     num_shards: int = 1,
     drop_remainder: bool = True,
+    use_get_batch: Optional[bool] = None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Shuffled, sharded training batches.
 
@@ -42,10 +55,12 @@ def train_batches(
     order = order[shard_index::num_shards]
     num_full = len(order) // batch_size
     for b in range(num_full):
-        yield _stack_batch(dataset, order[b * batch_size : (b + 1) * batch_size])
+        yield _stack_batch(
+            dataset, order[b * batch_size : (b + 1) * batch_size], use_get_batch
+        )
     rem = len(order) % batch_size
     if rem and not drop_remainder:
-        yield _stack_batch(dataset, order[num_full * batch_size :])
+        yield _stack_batch(dataset, order[num_full * batch_size :], use_get_batch)
 
 
 def eval_batches(

@@ -163,7 +163,6 @@ def _make_beam_from_feats(model, cfg: DLSGConfig, beam: int, mesh=None) -> Calla
                 getattr(cfg, "decode_fast_lse", True)
                 and getattr(cfg, "decode_quant", "none") == "none"
             ),
-            grouped_topk=getattr(cfg, "decode_grouped_topk", False),
             approx_topk_recall=getattr(cfg, "decode_approx_topk", 0.0),
             return_finished=True,
         )

@@ -30,39 +30,6 @@ def _expand_to_beams(x, beam_size):
     return jnp.repeat(x, beam_size, axis=0)
 
 
-_GROUP = 128  # one vector register of lanes
-
-
-def grouped_top_k(lp: jnp.ndarray, k: int):
-    """Top-k over a wide row via a group-max hierarchy.
-
-    `lax.top_k` over a [G, 10k] row is a multi-pass sort; this does one cheap
-    reduction to per-128-lane group maxima, a tiny top-k over the ~80 groups,
-    a [G, k, 128] block gather, and a final tiny top-k. Exact: if an element
-    is among the global top-k but its group were not among the top-k groups,
-    k groups would each hold a larger element — contradiction. Tie-break can
-    differ from lax.top_k only when equal values span different 128-groups
-    (measure-zero for real logits).
-
-    Returns (vals [G, k], ids [G, k]) sorted descending.
-    """
-    G, V = lp.shape
-    if V <= _GROUP * max(k, 4):  # few groups: the hierarchy can't help
-        return jax.lax.top_k(lp, k)
-    pad = (-V) % _GROUP
-    if pad:
-        lp = jnp.pad(lp, ((0, 0), (0, pad)), constant_values=-1e30)
-    ng = lp.shape[1] // _GROUP
-    r = lp.reshape(G, ng, _GROUP)
-    gmax = jnp.max(r, axis=-1)  # [G, ng] — one pass
-    _, top_g = jax.lax.top_k(gmax, k)  # [G, k] — tiny
-    blocks = jnp.take_along_axis(r, top_g[:, :, None], axis=1)  # [G, k, 128]
-    vals, local = jax.lax.top_k(blocks.reshape(G, k * _GROUP), k)
-    grp = jnp.take_along_axis(top_g, local // _GROUP, axis=1)
-    ids = grp * _GROUP + local % _GROUP
-    return vals, ids
-
-
 def beam_search(
     start_tokens: jnp.ndarray,
     init_state,
@@ -75,7 +42,6 @@ def beam_search(
     normalize: bool = False,
     sparse_step: bool = False,
     fast_lse: bool = False,
-    grouped_topk: bool = False,
     approx_topk_recall: float = 0.0,
     return_finished: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -147,8 +113,6 @@ def beam_search(
             return jax.lax.approx_max_k(
                 lp, kk, recall_target=approx_topk_recall
             )
-        if grouped_topk:
-            return grouped_top_k(lp, kk)
         return jax.lax.top_k(lp, kk)
 
     # ---- first step: B -> B*beam expansion (allennlp_beamsearch.py:107-160) ----

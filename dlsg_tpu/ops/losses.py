@@ -64,7 +64,7 @@ def gradient_penalty(
     mixed = real * eps + fake * (1.0 - eps)
     # grad_outputs=ones <=> gradient of sum(D(mixed)) w.r.t. mixed
     grads = jax.grad(lambda m: jnp.sum(d_fn(m)))(mixed)
-    # accumulate the norm in fp32 (inputs may be bf16 under gan_caps_bf16;
+    # accumulate the norm in fp32 (grads may be bf16 under bf16 compute;
     # a bf16 sum over ~260k squares loses the norm entirely)
     grads = grads.reshape(grads.shape[0], -1).astype(jnp.float32)
     norm = jnp.linalg.norm(grads, axis=1)

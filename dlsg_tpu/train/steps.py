@@ -155,15 +155,6 @@ def make_gan_train_step(gen_model, disc_model, cfg: DLSGConfig, mesh: Optional[M
         obj_psl = jax.lax.stop_gradient(obj_psl)
         motion_psl = jax.lax.stop_gradient(motion_psl)
         alpha_all = jax.lax.stop_gradient(alpha_all)
-        if getattr(cfg, "gan_caps_bf16", False):
-            # the [B,T,V] caption tensors dominate the D phase's HBM reads
-            # (5 substeps x a 2B grouped pass + the GP pass); storing them
-            # bf16 halves that traffic. NB: only the D-phase copies are cast
-            # — the G phase keeps the fp32 logits.
-            r_caption_d = r_caption.astype(jnp.bfloat16)
-            f_caption_d = f_caption.astype(jnp.bfloat16)
-        else:
-            r_caption_d, f_caption_d = r_caption, f_caption
 
         # the substep scores real|fake in ONE grouped trunk pass (DiscV2
         # groups=2 — no input gradients needed for those terms) and runs the
@@ -182,7 +173,7 @@ def make_gan_train_step(gen_model, disc_model, cfg: DLSGConfig, mesh: Optional[M
             # draw in fp32 ALWAYS (a bf16 draw is a different random stream),
             # then cast to the caption dtype for the interpolation
             eps_gp = jax.random.uniform(k_eps, (f_caption.shape[0], 1, 1)).astype(
-                r_caption_d.dtype
+                r_caption.dtype
             )
 
             def apply_d(dparams, caps):
@@ -215,17 +206,17 @@ def make_gan_train_step(gen_model, disc_model, cfg: DLSGConfig, mesh: Optional[M
 
             def d_loss_fn(dparams):
                 scores = apply_d2(
-                    dparams, jnp.concatenate([r_caption_d, f_caption_d], axis=0)
+                    dparams, jnp.concatenate([r_caption, f_caption], axis=0)
                 )
                 r_loss = jnp.mean(scores[:B])
                 f_loss = jnp.mean(scores[B:])
                 if gp_custom_vjp:
-                    mixed = r_caption_d * eps_gp + f_caption_d * (1.0 - eps_gp)
+                    mixed = r_caption * eps_gp + f_caption * (1.0 - eps_gp)
                     gp = make_gradient_penalty_rof(apply_d)(dparams, mixed)
                 else:
                     gp = gradient_penalty(
                         lambda caps: apply_d(dparams, caps),
-                        r_caption_d, f_caption_d, eps_gp,
+                        r_caption, f_caption, eps_gp,
                     )
                 loss = f_loss - r_loss + 10.0 * gp
                 return loss, {"wasserstein": r_loss - f_loss, "gp": gp}

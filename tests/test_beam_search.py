@@ -188,21 +188,6 @@ def test_fast_lse_underflow_stays_finite():
     assert np.all(np.isfinite(np.asarray(l_lo)))
 
 
-def test_grouped_top_k_matches_lax():
-    """grouped_top_k == lax.top_k on tie-free inputs (any V, padded or not)."""
-    import numpy as np
-
-    from dlsg_tpu.ops.beam_search import grouped_top_k
-
-    rng = np.random.default_rng(0)
-    for G, V, k in ((8, 1000, 5), (16, 10000, 5), (4, 200, 3), (5, 128, 2)):
-        lp = jnp.asarray(rng.normal(size=(G, V)), jnp.float32)
-        gv, gi = grouped_top_k(lp, k)
-        rv, ri = jax.lax.top_k(lp, k)
-        np.testing.assert_array_equal(np.asarray(gi), np.asarray(ri))
-        np.testing.assert_allclose(np.asarray(gv), np.asarray(rv))
-
-
 def test_early_exit_skip_preserves_semantics():
     """Once every beam emits <end>, remaining steps are skipped via lax.cond;
     predictions and scores must equal the forced-end math they replace."""

@@ -94,6 +94,27 @@ def test_train_batches_sharding_disjoint(data_dir):
     assert len(all0) == len(all1) == 6
 
 
+def test_get_batch_matches_per_sample_stack(data_dir):
+    """The single-copy read_direct batch path (used automatically by
+    train_batches/eval_batches) is bit-equal to the per-sample stack path —
+    including the stored-boxes -> num_obj slice."""
+    cfg = data_dir
+    ds = CaptionDataset(cfg)
+    assert hasattr(ds, "get_batch")
+    a = next(train_batches(ds, 4, seed=5, use_get_batch=False))
+    b = next(train_batches(ds, 4, seed=5, use_get_batch=True))
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+    ev = EvalVideoDataset(cfg, eval_range=(0, 5))
+    idxs = [3, 0, 4]  # out of order: row order must be preserved
+    got = ev.get_batch(idxs)
+    for k in ("frames", "regions", "spatials", "video_ids"):
+        want = np.stack([np.asarray(ev[i][k]) for i in idxs])
+        np.testing.assert_array_equal(got[k], want, err_msg=k)
+
+
 def test_eval_batches_pad_and_valid(data_dir):
     cfg = data_dir
     ds = EvalVideoDataset(cfg, eval_range=(0, 5))

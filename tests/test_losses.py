@@ -189,22 +189,6 @@ def test_gan_step_gp_custom_vjp_and_remat_match_default():
         gs, ds, ls, metrics = step(gs, ds, ls, batch, key, jnp.float32(0.7))
         results[name] = (gs, ds, metrics)
 
-    # gan_caps_bf16 is a DOCUMENTED numerics deviation (bf16 caption
-    # tensors in the D phase): not equality — finite and close
-    step = make_gan_train_step(gen, disc, replace(cfg, gan_caps_bf16=True))
-    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
-    gs = TrainState.create(copy(g_vars["params"]), make_optimizer(1e-4))
-    ds = TrainState.create(copy(d_vars["params"]), make_optimizer(1e-4))
-    ls = init_lambda_state(0.01)
-    _, _, _, m_bf16 = step(gs, ds, ls, batch, key, jnp.float32(0.7))
-    m0_ref = results["gp_rof"][2]
-    for k in ("loss_D", "wasserstein", "grad_penalty", "cap_loss"):
-        assert np.isfinite(float(m_bf16[k])), k
-        np.testing.assert_allclose(
-            float(m_bf16[k]), float(m0_ref[k]), rtol=0.05, atol=0.05,
-            err_msg=f"gan_caps_bf16 diverged on {k}",
-        )
-
     g0, d0, m0 = results["default"]
     for name in ("gp_rof", "remat"):
         g1, d1, m1 = results[name]
