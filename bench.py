@@ -211,25 +211,12 @@ def _example(cfg, vocab_size, batch, seed=0):
 
 
 def _init_on_host(model, init_args, seed=0):
-    """Initialize parameters on the LOCAL CPU backend and ship them once.
+    """Host-CPU init at batch 1 (~400 s of relay RTTs saved; the trainers use
+    the same path). Returns a CPU-COMMITTED tree — callers must device_put it
+    with an explicit target (see utils/hostinit.py's placement note)."""
+    from dlsg_tpu.utils.hostinit import init_on_host
 
-    `model.init` executes op-by-op (eager); on the relay-attached TPU every
-    one of those tiny ops is a round trip — observed ~400 s of pure init
-    before the benchmark proper. Param shapes don't depend on batch size, so
-    init runs at B=1 on host CPU in seconds, then one device_put stages the
-    tree on the TPU.
-    """
-    small = tuple(
-        np.asarray(a[:1]) if isinstance(a, np.ndarray) and a.ndim >= 1 else a
-        for a in init_args
-    )
-    try:
-        cpu = jax.devices("cpu")[0]
-    except Exception:  # no cpu backend registered — eager init on the default
-        return model.init(jax.random.PRNGKey(seed), *small)
-    with jax.default_device(cpu):
-        variables = model.init(jax.random.PRNGKey(seed), *small)
-    return variables  # CPU-resident; callers device_put the final tree ONCE
+    return init_on_host(model, jax.random.PRNGKey(seed), *init_args)
 
 
 class _Program:

@@ -158,16 +158,40 @@ class _TrainerBase:
         return make_optimizer(self.cfg.learning_rate, frozen_paths=frozen)
 
     def _sample_batch(self):
+        # HOST arrays: these exist only to drive model.init (which runs on the
+        # local CPU backend, utils/hostinit.py) — device buffers would be waste
         cfg = self.cfg
         B = cfg.train_batch_size
         return {
-            "frames": jnp.zeros((B, cfg.max_frames, cfg.feature_size), jnp.float32),
-            "regions": jnp.zeros(
-                (B, cfg.max_frames, cfg.num_obj, cfg.region_feature_size), jnp.float32
+            "frames": np.zeros((B, cfg.max_frames, cfg.feature_size), np.float32),
+            "regions": np.zeros(
+                (B, cfg.max_frames, cfg.num_obj, cfg.region_feature_size), np.float32
             ),
-            "captions": jnp.zeros((B, cfg.max_words), jnp.int32),
-            "lengths": jnp.ones((B,), jnp.int32),
+            "captions": np.zeros((B, cfg.max_words), np.int32),
+            "lengths": np.ones((B,), np.int32),
         }
+
+    def _init_params(self, model, rng_seed: int, *args):
+        """Parameter init: host-side CPU at batch 1 for single-process runs
+        (a relay-attached device pays ~400 s of RTTs for eager init —
+        utils/hostinit.py), eager on-device for multi-host runs (placement
+        semantics unchanged there). Returned trees from the host path are
+        CPU-committed; _place_state stages them once."""
+        from dlsg_tpu.utils.hostinit import init_on_host
+
+        if self.num_hosts > 1:
+            return model.init(jax.random.PRNGKey(rng_seed), *args)
+        return init_on_host(model, jax.random.PRNGKey(rng_seed), *args)
+
+    def _place_state(self, state):
+        """Stage a (possibly CPU-committed) TrainState onto the accelerator,
+        then apply the tensor-parallel layout. Multi-host runs skip the
+        device_put (states were inited on-device there)."""
+        if self.num_hosts == 1:
+            from dlsg_tpu.utils.hostinit import place_replicated
+
+            state = place_replicated(state, self.mesh)
+        return self._apply_tp_layout(state)
 
     def _slice_batch(self, batch):
         """Host-side trim before staging: regions to num_obj, captions to
@@ -258,27 +282,27 @@ class RunGAN(_TrainerBase):
         self.gen_model = CapGnnModel(cfg, V)
         self.use_visual_gan = cfg.use_visual_gan
         sample = self._sample_batch()
-        g_vars = self.gen_model.init(
-            jax.random.PRNGKey(cfg.seed), sample["frames"], sample["regions"], sample["captions"]
+        g_vars = self._init_params(
+            self.gen_model, cfg.seed, sample["frames"], sample["regions"], sample["captions"]
         )
         self.gen_state = TrainState.create(
             self._maybe_graft_glove(g_vars["params"]), self._gen_optimizer()
         )
         if self.use_visual_gan:
             self.disc_model = DiscV2(cfg, V)
-            onehot = jnp.zeros((cfg.train_batch_size, cfg.max_words, V), jnp.float32)
-            att_mask = jnp.ones(
-                (cfg.train_batch_size, cfg.max_words, cfg.max_words), jnp.float32
+            onehot = np.zeros((cfg.train_batch_size, cfg.max_words, V), np.float32)
+            att_mask = np.ones(
+                (cfg.train_batch_size, cfg.max_words, cfg.max_words), np.float32
             )
-            alpha = jnp.ones(
-                (cfg.train_batch_size, cfg.max_words, 2 * cfg.num_proposals), jnp.float32
+            alpha = np.ones(
+                (cfg.train_batch_size, cfg.max_words, 2 * cfg.num_proposals), np.float32
             )
-            obj = jnp.zeros(
+            obj = np.zeros(
                 (cfg.train_batch_size, cfg.num_proposals, cfg.visual_hidden_size),
-                jnp.float32,
+                np.float32,
             )
-            d_vars = self.disc_model.init(
-                jax.random.PRNGKey(cfg.seed + 1), onehot, obj, obj, att_mask, alpha
+            d_vars = self._init_params(
+                self.disc_model, cfg.seed + 1, onehot, obj, obj, att_mask, alpha
             )
             self.disc_state = TrainState.create(
                 d_vars["params"], make_optimizer(cfg.learning_rate)
@@ -311,7 +335,11 @@ class RunGAN(_TrainerBase):
                 if restored.get("gan_lambda_state") is not None:
                     self.lambda_state = restored["gan_lambda_state"]
             self.last_epoch = restored["epoch"]
-        self.gen_state = self._apply_tp_layout(self.gen_state)
+        self.gen_state = self._place_state(self.gen_state)
+        if self.use_visual_gan and self.num_hosts == 1:
+            from dlsg_tpu.utils.hostinit import place_replicated
+
+            self.disc_state = place_replicated(self.disc_state, self.mesh)
 
     def train(self, num_shards: int = 1, shard_index: int = 0) -> ResultHandler:
         cfg = self.cfg
@@ -459,10 +487,10 @@ class Run(_TrainerBase):
         cfg = self.cfg
         self.gen_model = CapBaseline1(cfg, len(vocab))
         sample = self._sample_batch()
-        g_vars = self.gen_model.init(
-            jax.random.PRNGKey(cfg.seed), sample["frames"], sample["regions"], sample["captions"]
+        g_vars = self._init_params(
+            self.gen_model, cfg.seed, sample["frames"], sample["regions"], sample["captions"]
         )
-        self.gen_state = self._apply_tp_layout(
+        self.gen_state = self._place_state(
             TrainState.create(
                 self._maybe_graft_glove(g_vars["params"]), self._gen_optimizer()
             )
@@ -538,10 +566,10 @@ class RunLegacy(_TrainerBase):
 
         self.gen_model = CapModel(cfg, len(vocab))
         sample = self._sample_batch()
-        g_vars = self.gen_model.init(
-            jax.random.PRNGKey(cfg.seed), sample["frames"], sample["captions"]
+        g_vars = self._init_params(
+            self.gen_model, cfg.seed, sample["frames"], sample["captions"]
         )
-        self.gen_state = self._apply_tp_layout(
+        self.gen_state = self._place_state(
             TrainState.create(g_vars["params"], make_optimizer(cfg.learning_rate))
         )
         model = self.gen_model

@@ -122,3 +122,33 @@ def test_bench_attach_watchdog_guards():
         bench._best_result.clear()
         bench._best_json = ""
         bench.ATTACH_DEADLINE_S = old
+
+
+def test_init_on_host_and_place_replicated():
+    """Host-side init (utils/hostinit.py): batch-1 CPU init produces the SAME
+    params as full-batch init, and place_replicated stages the tree onto the
+    target device / replicated over a mesh."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+
+    from dlsg_tpu.parallel.mesh import make_mesh
+    from dlsg_tpu.utils.hostinit import init_on_host, place_replicated
+
+    model = nn.Dense(4)
+    key = jax.random.PRNGKey(0)
+    v_host = init_on_host(model, key, np.zeros((8, 3), np.float32))
+    v_full = model.init(key, jnp.zeros((8, 3)))
+    for a, b in zip(jax.tree.leaves(v_host), jax.tree.leaves(v_full)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    placed = place_replicated(v_host)
+    leaf = jax.tree.leaves(placed)[0]
+    assert leaf.devices() == {jax.devices()[0]}
+
+    mesh = make_mesh()
+    placed_mesh = place_replicated(v_host, mesh)
+    leaf = jax.tree.leaves(placed_mesh)[0]
+    assert leaf.sharding.device_set == set(mesh.devices.flat)
+    assert leaf.sharding.is_fully_replicated
