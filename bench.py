@@ -272,7 +272,7 @@ class _Program:
         return max(t - overhead, 1e-6)
 
 
-def prepare_decode(cfg, vocab_size, batch, repeats=8) -> "_Program":
+def prepare_decode(cfg, vocab_size, batch, repeats=8, input_dtype=np.float32) -> "_Program":
     from dlsg_tpu.evaluation.evaluate import make_decode_fn
     from dlsg_tpu.models.generator import CapGnnModel
 
@@ -286,8 +286,11 @@ def prepare_decode(cfg, vocab_size, batch, repeats=8) -> "_Program":
     variables = jax.device_put(
         _init_on_host(model, (frames_h, regions_h, captions_h)), dev
     )
-    frames = jax.device_put(frames_h, dev)
-    regions = jax.device_put(regions_h, dev)
+    # input_dtype=bfloat16 stages the feature batch at half the bytes —
+    # numerics-identical under bf16 compute (the first matmuls cast their
+    # operands to bf16 regardless; A/B'd in scripts/ab_bf16_inputs_r5.py)
+    frames = jax.device_put(frames_h.astype(input_dtype), dev)
+    regions = jax.device_put(regions_h.astype(input_dtype), dev)
     decode = make_decode_fn(model, cfg, beam_size=5)
 
     @jax.jit
@@ -295,7 +298,7 @@ def prepare_decode(cfg, vocab_size, batch, repeats=8) -> "_Program":
         # the input perturbation chains successive calls (true serialization).
         # everything big is an ARGUMENT — closure constants would be embedded
         # in the HLO and shipped through the remote-compile relay.
-        ids = decode(variables, frames + c * 1e-12, regions)
+        ids = decode(variables, frames + (c * 1e-12).astype(frames.dtype), regions)
         return (jnp.sum(ids) % 97).astype(jnp.float32)
 
     prog = _Program(
@@ -309,7 +312,7 @@ def prepare_decode(cfg, vocab_size, batch, repeats=8) -> "_Program":
     return prog
 
 
-def prepare_train(cfg, vocab_size, batch, repeats=6) -> "_Program":
+def prepare_train(cfg, vocab_size, batch, repeats=6, input_dtype=np.float32) -> "_Program":
     from dlsg_tpu.models.discriminator import DiscV2
     from dlsg_tpu.models.generator import CapGnnModel
     from dlsg_tpu.train.gan_lambda import init_lambda_state
@@ -331,8 +334,8 @@ def prepare_train(cfg, vocab_size, batch, repeats=6) -> "_Program":
     dev = jax.devices()[0]
     batch_d = jax.device_put(
         {
-            "frames": frames_h,
-            "regions": regions_h,
+            "frames": frames_h.astype(input_dtype),
+            "regions": regions_h.astype(input_dtype),
             "captions": captions_h,
             "lengths": lengths_h,
         },

@@ -111,3 +111,58 @@ def test_lr_injection(setup):
     state = TrainState.create(g_vars["params"], make_optimizer(1e-3))
     state = state.set_learning_rate(5e-4)
     assert float(state.opt_state.hyperparams["learning_rate"]) == pytest.approx(5e-4)
+
+
+def test_bf16_staged_inputs_are_numerics_identical():
+    """Staging frames/regions as bf16 under compute_dtype=bfloat16 is
+    numerics-IDENTICAL (not merely close): every op that consumes them casts
+    to bf16 first, so the same bf16 values reach the MXU either way. This is
+    what lets the input pipeline halve its HBM reads and host->device bytes
+    with no accuracy trade (BENCHMARKS.md round 5, ab_bf16_inputs_r5)."""
+    from dataclasses import replace
+
+    from dlsg_tpu.evaluation.evaluate import make_decode_fn
+    from dlsg_tpu.train.optim import TrainState, make_optimizer
+    from dlsg_tpu.train.steps import make_gan_train_step, make_masks
+
+    cfg = replace(tiny_test_config(train_batch_size=4), compute_dtype="bfloat16")
+    V = 47
+    rng = np.random.default_rng(0)
+    fr = rng.normal(size=(4, cfg.max_frames, cfg.feature_size)).astype(np.float32)
+    rg = rng.normal(
+        size=(4, cfg.max_frames, cfg.num_obj, cfg.region_feature_size)
+    ).astype(np.float32)
+    caps = rng.integers(4, V, size=(4, cfg.max_words)).astype(np.int32)
+    lengths = np.asarray([5, 6, 7, 8], np.int32)
+
+    gen = CapGnnModel(cfg, V)
+    v = gen.init(jax.random.PRNGKey(0), fr, rg, caps)
+    dec = make_decode_fn(gen, cfg, beam_size=3)
+    ids32 = np.asarray(dec(v, jnp.asarray(fr), jnp.asarray(rg)))
+    ids16 = np.asarray(dec(v, jnp.asarray(fr, jnp.bfloat16), jnp.asarray(rg, jnp.bfloat16)))
+    np.testing.assert_array_equal(ids32, ids16)
+
+    disc = DiscV2(cfg, V)
+    onehot = jax.nn.one_hot(jnp.asarray(caps), V)
+    _, att = make_masks(jnp.asarray(caps))
+    alpha = jnp.ones((4, cfg.max_words, 2 * cfg.num_proposals))
+    obj = jnp.zeros((4, cfg.num_proposals, cfg.visual_hidden_size))
+    dv = disc.init(jax.random.PRNGKey(1), onehot, obj, obj, att, alpha)
+    step = make_gan_train_step(gen, disc, cfg)
+    key = jax.random.key(3, impl=cfg.rng_impl)
+    metrics = {}
+    for name, dt in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
+        gs = TrainState.create(jax.tree.map(jnp.copy, v["params"]), make_optimizer(1e-4))
+        ds = TrainState.create(jax.tree.map(jnp.copy, dv["params"]), make_optimizer(1e-4))
+        b = {
+            "frames": jnp.asarray(fr, dt),
+            "regions": jnp.asarray(rg, dt),
+            "captions": jnp.asarray(caps),
+            "lengths": jnp.asarray(lengths),
+        }
+        _, _, _, m = step(gs, ds, init_lambda_state(0.01), b, key, jnp.float32(0.7))
+        metrics[name] = m
+    for k in ("cap_loss", "loss_G", "loss_D", "wasserstein", "grad_penalty"):
+        np.testing.assert_array_equal(
+            np.asarray(metrics["fp32"][k]), np.asarray(metrics["bf16"][k]), err_msg=k
+        )
