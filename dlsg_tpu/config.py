@@ -130,10 +130,13 @@ class DLSGConfig:
     profile_dir: str = ""
     # beam bookkeeping variant (ops/beam_search.py): single-pass clipped sumexp
     decode_fast_lse: bool = True
-    # TPU hardware approximate top-k over the [G, V] beam candidates
-    # (jax.lax.approx_max_k). 0.0 = off (exact lax.top_k). NOT exact: a step
-    # may miss a candidate with probability ~(1 - recall); opt-in for serving.
-    decode_approx_topk: float = 0.0  # recall target in (0, 1], e.g. 0.95
+    # Beam top-k over the wide [G, V] candidate rows. 1.0 (default) lowers to
+    # the TPU PartialReduce unit with EXACT aggregation (jax.lax.approx_max_k
+    # at recall_target=1.0 — identical candidate sets incl. adversarial ties,
+    # +5% captions/s vs the sort-based TopK custom call; BENCHMARKS.md round 5).
+    # Values in (0, 1) trade recall for speed (serving opt-in, e.g. 0.95);
+    # 0.0 = the sort-based lax.top_k custom call.
+    decode_approx_topk: float = 1.0  # recall target; 1.0 = exact (default)
     # int8 weight-only quantized INFERENCE matmuls in the decode step
     # (ops/quant.py); training always runs bf16/fp32
     decode_quant: str = "none"  # 'none' | 'int8'

@@ -106,10 +106,12 @@ def beam_search(
 
     def _topk(lp, kk):
         if approx_topk_recall:
-            # TPU's hardware-accelerated approximate top-k (PartialReduce
-            # custom call) over the wide [G, V] row. NOT exact: each step may
-            # miss a candidate with probability ~(1 - recall); opt-in for
-            # serving where the per-step beam candidate set tolerates it.
+            # TPU PartialReduce top-k over the wide [G, V] row. At
+            # recall_target=1.0 (the default) the partial-reduce + aggregation
+            # is EXACT and ~5% faster end-to-end than the sort-based TopK
+            # custom call (BENCHMARKS.md round 5; candidate sets verified
+            # identical on-chip incl. adversarial ties). recall < 1.0 may miss
+            # a candidate with probability ~(1 - recall) — serving opt-in.
             return jax.lax.approx_max_k(
                 lp, kk, recall_target=approx_topk_recall
             )

@@ -115,7 +115,7 @@ def end_to_end():
     from dlsg_tpu.config import DLSGConfig, apply_dataset_overrides
 
     cfg = apply_dataset_overrides(DLSGConfig(dataset="msr-vtt", compute_dtype="bfloat16"))
-    out = {}
+    progs = {}
     for name, cfg_v in (
         ("exact_topk", cfg),
         ("approx_1.0", replace(cfg, decode_approx_topk=1.0)),
@@ -124,15 +124,21 @@ def end_to_end():
         prog.compile()
         if prog.compiled is None:
             raise prog.error
-        per_call = prog.measure()
-        out[name] = per_call * 1e3
-        print(f"decode {name}: {per_call*1e3:.2f} ms/batch "
-              f"({128/per_call:.0f} captions/s)", flush=True)
+        progs[name] = prog
+    out = {name: [] for name in progs}
+    for _ in range(2):  # interleaved rounds so relay drift hits both arms
+        for name, prog in progs.items():
+            out[name].append(prog.measure() * 1e3)
+    for name, ms in out.items():
+        best = min(ms)
+        print(f"decode {name}: {best:.2f} ms/batch ({128/best*1e3:.0f} "
+              f"captions/s) rounds={[f'{m:.2f}' for m in ms]}", flush=True)
     return out
 
 
 if __name__ == "__main__":
     print("device:", jax.devices()[0], flush=True)
-    micro()
-    exactness()
+    if "--e2e_only" not in sys.argv:
+        micro()
+        exactness()
     end_to_end()

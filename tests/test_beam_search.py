@@ -237,3 +237,31 @@ def test_approx_topk_mode_runs_and_matches_on_separated_logits():
     p_ap, l_ap = beam_search(start, state, step, approx_topk_recall=0.95, **kw)
     np.testing.assert_array_equal(np.asarray(p_ex), np.asarray(p_ap))
     np.testing.assert_allclose(np.asarray(l_ex), np.asarray(l_ap), atol=1e-5)
+
+
+def test_recall_one_topk_is_exact_default():
+    """decode_approx_topk defaults to 1.0: PartialReduce top-k with exact
+    aggregation. Tokens AND log-probs must match the sort-based lax.top_k
+    path bit-for-bit (on TPU this was additionally verified on-chip with
+    adversarial ties — scripts/ab_topk_r5.py; here the CPU lowering guards
+    the plumbing and the recall_target=1.0 exactness contract)."""
+    from dlsg_tpu.config import DLSGConfig
+
+    assert DLSGConfig().decode_approx_topk == 1.0
+
+    V = 300
+    key = jax.random.PRNGKey(11)
+    logits = jax.random.normal(key, (V, V)) * 2.0
+    # adversarial ties in every row
+    logits = logits.at[:, :17].set(1.25)
+
+    def step(tokens, state):
+        return logits[tokens], state
+
+    start = jnp.zeros((3,), jnp.int32)
+    state = {"s": jnp.zeros((3, 1))}
+    kw = dict(end_id=END, max_steps=7, beam_size=5, normalize=True)
+    p_sort, l_sort = beam_search(start, state, step, approx_topk_recall=0.0, **kw)
+    p_pr, l_pr = beam_search(start, state, step, approx_topk_recall=1.0, **kw)
+    np.testing.assert_array_equal(np.asarray(p_sort), np.asarray(p_pr))
+    np.testing.assert_allclose(np.asarray(l_sort), np.asarray(l_pr), atol=0)
