@@ -39,10 +39,11 @@ class Captioner:
     """NB: `cfg` is taken as FINAL (apply_dataset_overrides yourself if you
     built it by hand; parse_opt already applies them).
 
-    `fast=True` enables the TPU hardware approximate top-k in the beam
-    (decode_approx_topk=0.95): measured -8.5% latency at 99.97% token
-    agreement with the exact beam (BENCHMARKS.md). Serving has no reference
-    parity contract, so the trade is explicit and per-instance.
+    `fast=True` drops the beam top-k to recall 0.95 (decode_approx_topk;
+    the default is already the exact PartialReduce path at recall 1.0):
+    measured -8.5% latency at 99.97% token agreement with the exact beam
+    (BENCHMARKS.md, vs the then-default sort-based top-k). Serving has no
+    reference parity contract, so the trade is explicit and per-instance.
     """
 
     def __init__(
