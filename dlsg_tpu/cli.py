@@ -424,6 +424,7 @@ def main(argv=None):
             vocab,
             reference,
             cross_host_gather=jax.process_count() > 1,
+            stage_dtype=cfg.stage_dtype,
         )
         for k, v in scores.items():
             print(f"{k}: {100 * v:.6f}")

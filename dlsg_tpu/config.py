@@ -104,6 +104,14 @@ class DLSGConfig:
     # ---- TPU-native settings (new; no reference equivalent) ----
     # compute dtype for matmuls/activations; params stay fp32.
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    # dtype the float feature batches (frames/regions) are staged to the
+    # device in. 'bfloat16' halves host->device bytes — numerics-identical
+    # under compute_dtype=bfloat16 (every consumer casts to bf16 before the
+    # MXU; tests/test_train_steps.py bit-identity) but measured +4-5% DEVICE
+    # step time (BENCHMARKS.md "bf16-staged inputs"), so it only pays when
+    # the training loop is transfer-bound: a remote/relay-attached TPU at
+    # ~0.04 GiB/s, not a co-located host. Off (fp32) by default.
+    input_stage_dtype: str = "float32"  # 'float32' | 'bfloat16'
     use_pallas_lstm: bool = False  # fused VMEM-resident LSTM scan kernel (TPU)
     # project the region tensor once for both TUN branches (one wide matmul).
     # Measured SLOWER on v5e (12.5 vs 9.5 ms encode: the wide output + slices
@@ -193,6 +201,14 @@ class DLSGConfig:
         import jax.numpy as jnp
 
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+    @property
+    def stage_dtype(self):
+        """Numpy dtype float feature batches are cast to before device_put
+        (None = keep the loader's fp32; see input_stage_dtype)."""
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if self.input_stage_dtype == "bfloat16" else None
 
     @property
     def train_range(self) -> Tuple[int, int]:

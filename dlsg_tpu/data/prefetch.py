@@ -27,8 +27,15 @@ def prefetch_to_device(
     mesh=None,
     buffer_size: int = 2,
     keys=("frames", "regions", "captions", "lengths"),
+    stage_dtype=None,
+    cast_keys=("frames", "regions"),
 ) -> Iterator[dict]:
     """Wrap a host batch iterator; yields device-resident batches one step ahead.
+
+    `stage_dtype` (e.g. jnp.bfloat16, cfg.stage_dtype) casts the float feature
+    fields in `cast_keys` on the host before device_put — halving the
+    host->device bytes for transfer-bound (remote/relay) deployments. Numerics
+    are unchanged under compute_dtype=bfloat16 (consumers cast anyway).
 
     Multi-host: each process's local batch is stitched into a GLOBAL
     data-sharded jax.Array (`make_array_from_process_local_data`) — the SPMD
@@ -37,7 +44,9 @@ def prefetch_to_device(
     sharding = batch_sharding(mesh) if mesh is not None else None
     multihost = jax.process_count() > 1
 
-    def _stage(v):
+    def _stage(k, v):
+        if stage_dtype is not None and k in cast_keys:
+            v = np.asarray(v).astype(stage_dtype)
         if sharding is None:
             return jax.device_put(v)
         if multihost:
@@ -50,7 +59,7 @@ def prefetch_to_device(
         try:
             for batch in batch_iter:
                 staged = {
-                    k: _stage(v) for k, v in batch.items() if k in keys
+                    k: _stage(k, v) for k, v in batch.items() if k in keys
                 }
                 # keep host-only fields (video ids, valid masks) unstaged
                 for k, v in batch.items():

@@ -375,6 +375,7 @@ def evaluate(
     reference: Dict,
     scorer: Optional[COCOScorer] = None,
     cross_host_gather: bool = False,
+    stage_dtype=None,
 ) -> Tuple[Dict[str, float], "OrderedDict[str, str]", Optional[np.ndarray], float]:
     """Decode the full eval set and score it (evaluate.py:56-98).
 
@@ -413,9 +414,19 @@ def evaluate(
     # device compute overlaps the fetch + host-side bookkeeping instead of
     # serializing with them. Results are consumed in order, so output
     # ordering is identical to the plain loop.
+    # stage_dtype (cfg.stage_dtype): cast features on host before shipping —
+    # halves device transfer bytes on relay-attached TPUs, token-identical
+    # under bf16 compute (tests/test_train_steps.py bit-identity).
+    def _feats(b):
+        f, r = b["frames"], b["regions"]
+        if stage_dtype is not None:
+            f = np.asarray(f).astype(stage_dtype)
+            r = np.asarray(r).astype(stage_dtype)
+        return jnp.asarray(f), jnp.asarray(r)
+
     pending = None
     for batch in eval_iter:
-        out = decode_fn(variables, jnp.asarray(batch["frames"]), jnp.asarray(batch["regions"]))
+        out = decode_fn(variables, *_feats(batch))
         if pending is not None:
             _consume(*pending)
         pending = (out, batch)

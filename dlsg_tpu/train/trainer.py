@@ -216,7 +216,7 @@ class _TrainerBase:
                 num_shards=num_shards,
             )
         )
-        return prefetch_to_device(host, self.mesh)
+        return prefetch_to_device(host, self.mesh, stage_dtype=self.cfg.stage_dtype)
 
     def _print(self, *args):
         if self.is_leader:
@@ -249,6 +249,7 @@ class _TrainerBase:
             self.vocab,
             self.test_reference,
             cross_host_gather=self.num_hosts > 1,
+            stage_dtype=self.cfg.stage_dtype,
         )
         self._print(f"evaluate time: {time.time() - t0:.3f}s (inference {infer_time:.3f}s)")
         if alpha_all is not None and self.is_leader:

@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--data_dir", required=True)
     ap.add_argument("--steps", type=int, default=40)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--stage_dtype", default="float32",
+                    help="input_stage_dtype: float32 | bfloat16")
     args = ap.parse_args()
 
     from dlsg_tpu.config import DLSGConfig, apply_dataset_overrides
@@ -49,6 +51,7 @@ def main():
             dataset="msr-vtt",
             data_dir=args.data_dir,
             compute_dtype=args.dtype,
+            input_stage_dtype=args.stage_dtype,
             result_dir="/tmp/loopbench_results",
             log_every=10,
         )
@@ -85,14 +88,21 @@ def main():
     deltas = np.diff(stamps)
     steady = deltas[5:]  # first call compiles; next few fill the pipeline
     med = float(np.median(steady))
+    # MEAN is the honest throughput: the lagged metric consume (log_every)
+    # syncs the host to the device+transfer backlog, so the cadence is a few
+    # fast dispatches followed by one long stall — the median alone hides
+    # the stall entirely (first run: median 3.2 s, p90 110 s).
+    mean = float(np.mean(steady))
     out = {
         "steps_timed": int(len(steady)),
         "first_step_s_incl_compile": round(float(deltas[0]), 1),
+        "mean_steady_s_per_step": round(mean, 3),
         "median_steady_s_per_step": round(med, 3),
-        "loop_clips_per_s": round(cfg.train_batch_size / med, 1),
+        "loop_clips_per_s": round(cfg.train_batch_size / mean, 1),
         "p90_s_per_step": round(float(np.percentile(steady, 90)), 3),
         "batch": cfg.train_batch_size,
         "dtype": args.dtype,
+        "stage_dtype": args.stage_dtype,
     }
     print(json.dumps(out))
 

@@ -165,3 +165,27 @@ def test_prefetch_to_device(data_dir):
     # host-only fields pass through unstaged
     assert not isinstance(staged[0]["video_ids"], jax.Array) or True
     assert staged[0]["frames"].shape[0] == 4
+
+
+def test_prefetch_stage_dtype_casts_features_only(data_dir):
+    """input_stage_dtype=bfloat16: float feature fields ship at half width;
+    integer fields (captions/lengths) are untouched; values round-trip to
+    the bf16 quantization of the originals (the step's numerics are locked
+    separately by the bit-identity test in test_train_steps.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dlsg_tpu.data.prefetch import prefetch_to_device
+
+    cfg = data_dir
+    ds = CaptionDataset(cfg)
+    raw = next(train_batches(ds, 4, seed=0, epoch=0))
+    host = train_batches(ds, 4, seed=0, epoch=0)
+    staged = next(prefetch_to_device(host, stage_dtype=jnp.bfloat16))
+    assert staged["frames"].dtype == jnp.bfloat16
+    assert staged["regions"].dtype == jnp.bfloat16
+    assert staged["captions"].dtype == raw["captions"].dtype
+    np.testing.assert_array_equal(
+        np.asarray(staged["frames"], np.float32),
+        raw["frames"].astype(jnp.bfloat16).astype(np.float32),
+    )
