@@ -51,35 +51,50 @@ def main():
             if hasattr(v, "addressable_shards"):
                 np.asarray(v.addressable_data(0)[(0,) * v.ndim])
 
-    assemble_t, ship_t, sizes = [], [], []
+    import jax.numpy as jnp
+
+    assemble_t, sizes = [], []
+    ship_t = {"fp32": [], "bf16_cast": [], "bf16_ship": []}
     for i in range(args.iters):
         t0 = time.perf_counter()
         b = next(it)
         t1 = time.perf_counter()
         feats = {k: b[k] for k in ("frames", "regions", "captions", "lengths")}
+        # interleaved fp32 vs bf16 ship of the SAME batch (same cache state)
         staged = {k: jax.device_put(v, dev) for k, v in feats.items()}
         sync(staged)
         t2 = time.perf_counter()
+        del staged
+        half = {
+            k: (v.astype(jnp.bfloat16) if v.dtype == np.float32 else v)
+            for k, v in feats.items()
+        }
+        t3 = time.perf_counter()
+        staged = {k: jax.device_put(v, dev) for k, v in half.items()}
+        sync(staged)
+        t4 = time.perf_counter()
+        del staged
         assemble_t.append(t1 - t0)
-        ship_t.append(t2 - t1)
+        ship_t["fp32"].append(t2 - t1)
+        ship_t["bf16_cast"].append(t3 - t2)
+        ship_t["bf16_ship"].append(t4 - t3)
         sizes.append(sum(v.nbytes for v in feats.values()))
         print(
-            f"iter {i}: assemble {t1-t0:.3f}s ship {t2-t1:.3f}s "
+            f"iter {i}: assemble {t1-t0:.3f}s ship_fp32 {t2-t1:.3f}s "
+            f"cast {t3-t2:.3f}s ship_bf16 {t4-t3:.3f}s "
             f"({sizes[-1]/2**30:.2f} GiB)",
             file=sys.stderr,
             flush=True,
         )
-        del staged
 
-    med_a = float(np.median(assemble_t[1:]))
-    med_s = float(np.median(ship_t[1:]))
+    med = lambda xs: float(np.median(xs[1:]))  # noqa: E731
     gib = sizes[-1] / 2**30
     out = {
-        "assemble_s": round(med_a, 3),
-        "ship_s": round(med_s, 3),
-        "ship_gib_per_s": round(gib / med_s, 2),
-        "serial_s": round(med_a + med_s, 3),
-        "serial_clips_per_s": round(cfg.train_batch_size / (med_a + med_s), 1),
+        "assemble_s": round(med(assemble_t), 3),
+        "ship_fp32_s": round(med(ship_t["fp32"]), 3),
+        "ship_fp32_gib_per_s": round(gib / med(ship_t["fp32"]), 3),
+        "bf16_cast_s": round(med(ship_t["bf16_cast"]), 3),
+        "ship_bf16_s": round(med(ship_t["bf16_ship"]), 3),
         "batch_gib": round(gib, 2),
     }
     print(json.dumps(out))
