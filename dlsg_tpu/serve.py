@@ -170,6 +170,11 @@ class Captioner:
             if n < b:  # pad to the bucket's static shape
                 fr = np.concatenate([fr, np.repeat(fr[-1:], b - n, 0)], 0)
                 rg = np.concatenate([rg, np.repeat(rg[-1:], b - n, 0)], 0)
+            if (sd := cfg.stage_dtype) is not None:
+                # input_stage_dtype: halve host->device bytes on
+                # transfer-bound (remote-attached) serving hosts; tokens
+                # identical under bf16 compute (BENCHMARKS.md)
+                fr, rg = fr.astype(sd), rg.astype(sd)
             ids = np.asarray(fn(self.variables, jnp.asarray(fr), jnp.asarray(rg)))
             out.extend(self.vocab.decode_tokens(t) for t in ids[:n])
         return out

@@ -158,3 +158,27 @@ def test_fast_profile_captions(captioner):
     frames = rng.normal(size=(3, cfg.max_frames, cfg.feature_size))
     regions = rng.normal(size=(3, cfg.max_frames, cfg.num_obj, cfg.region_feature_size))
     assert fast.caption(frames, regions) == cap.caption(frames, regions)
+
+
+def test_bf16_staged_serving_tokens_identical():
+    """input_stage_dtype=bfloat16 in a bf16-compute captioner ships features
+    at half width and produces the same captions (every consumer casts to
+    bf16 before the matmul anyway)."""
+    import dataclasses
+
+    cfg = tiny_test_config(test_batch_size=4, beam_size=2, compute_dtype="bfloat16")
+    vocab = make_vocab()
+    model = CapGnnModel(cfg, len(vocab))
+    B = cfg.test_batch_size
+    frames0 = jnp.zeros((B, cfg.max_frames, cfg.feature_size))
+    regions0 = jnp.zeros((B, cfg.max_frames, cfg.num_obj, cfg.region_feature_size))
+    caps0 = jnp.zeros((B, cfg.max_words), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), frames0, regions0, caps0)["params"]
+    base = Captioner.from_params(cfg, vocab, params)
+    staged = Captioner.from_params(
+        dataclasses.replace(cfg, input_stage_dtype="bfloat16"), vocab, params
+    )
+    rng = np.random.default_rng(7)
+    frames = rng.normal(size=(3, cfg.max_frames, cfg.feature_size))
+    regions = rng.normal(size=(3, cfg.max_frames, cfg.num_obj, cfg.region_feature_size))
+    assert staged.caption(frames, regions) == base.caption(frames, regions)
