@@ -31,30 +31,50 @@ _CONTRACTIONS = re.compile(
 # Abbreviations whose trailing period stays attached (corenlp keeps lexicon
 # abbreviations as single tokens). Mirrors the PTBLexer abbreviation classes
 # (personal titles, months, streets, US states, company suffixes, Latin/
-# scholarly, measures), lowercased, minus entries that collide with common
-# sentence-final caption words ("sat.", "sun.", "wed.", "in.", "reps.",
-# "ore.", "gal.", "brig.", "ark.") — corenlp
-# disambiguates those with lookahead context this line-oriented tokenizer
-# doesn't model, and mis-gluing a period onto a real word is the worse error.
+# scholarly, measures), lowercased, in TWO classes mirroring PTBLexer's
+# lookahead design (corenlp jar invocation: caption-eval/pycocoevalcap/
+# tokenizer/ptbtokenizer.py:28-53):
+#
+# - ABBREV_ALWAYS: entries that keep the period in any position (titles,
+#   company suffixes, Latin/scholarly terms — PTBLexer's sentence-final-
+#   capable classes). Their bare forms are not English words, so a trailing
+#   period is unambiguous.
+# - ABBREV_CONTEXTUAL: entries PTBLexer recognizes only with lookahead (the
+#   JFlex rules match them when followed by further text): months, days,
+#   US states, street/road suffixes, measures, and every entry whose bare
+#   form collides with a common sentence-final caption word ("ten reps." /
+#   "turn it to the max." / "the couple wed."). These keep the period only
+#   when NOT line-final; at end of line the period is a sentence terminator
+#   and splits off, exactly the ambiguity corenlp resolves with lookahead.
+#
 # Two-letter initials ("b.") need no entry: the single-initial rule keeps them.
-ABBREVIATIONS = frozenset(
-    """dr. mr. mrs. ms. st. jr. sr. prof. gen. gov. sgt. capt. rev. hon.
-    u.s. u.k. e.g. i.e. etc. ft. lb. lbs. oz. vs. v. co. inc. ltd. no.
-    dept. approx. min. max. sec. hr. a.m. p.m.
-    mt. ave. blvd. rd. lt. col. maj. adm. sen. rep. pres. supt. det.
-    jan. feb. mar. apr. jun. jul. aug. sept. oct. nov. dec.
-    est. fig. misc. vol. ch. pp. ed. univ. assn. bros. corp. mfg. ph.d.
-    adj. adm. adv. asst. bldg. cmdr. comdr. cpl. drs. ens. insp.
+ABBREV_ALWAYS = frozenset(
+    """dr. mr. mrs. ms. jr. sr. prof. gen. gov. sgt. capt. rev. hon.
+    u.s. u.k. e.g. i.e. etc. vs. co. inc. ltd.
+    dept. approx. hr. a.m. p.m.
+    lt. col. maj. adm. sen. pres. supt. det.
+    misc. vol. ch. pp. univ. assn. bros. corp. mfg. ph.d.
+    adj. adv. asst. bldg. cmdr. comdr. cpl. drs. ens. insp.
     messrs. mlle. mme. msgr. pfc. pvt. sens. sfc. surg. atty. attys.
-    esq. sep. tues. thurs.
-    ala. ariz. calif. colo. conn. dak. del. fla. ind. kan. kans.
-    mich. minn. mont. neb. nebr. nev. okla. penn. penna. tenn. tex.
-    wis. wisc. wyo.
-    cos. mfrs. mkt. pty. plc. dist. distrib. hwy. fwy. pkwy. tpke. rte.
+    esq.
+    cos. mfrs. mkt. pty. plc. dist. distrib.
     cf. al. seq. viz. ibid. orig. incl. nos.
-    kg. km. cm. mm. mi. qt. hrs. mins. secs. tsp. tbsp. sq. cu.
+    hrs. mins. secs. tsp. tbsp.
     exec. govt. natl. intl. admin. assoc. bldgs. mts. sts. rds.""".split()
 )
+ABBREV_CONTEXTUAL = frozenset(
+    """st. ft. lb. lbs. oz. v. no. min. max. sec. in. gal. reps. rep.
+    mt. ave. blvd. rd. hwy. fwy. pkwy. tpke. rte.
+    jan. feb. mar. apr. jun. jul. aug. sept. oct. nov. dec. sep.
+    mon. tues. wed. thurs. fri. sat. sun.
+    ala. ariz. ark. calif. colo. conn. dak. del. fla. ind. kan. kans.
+    mich. minn. mont. neb. nebr. nev. okla. ore. penn. penna. tenn. tex.
+    wis. wisc. wyo.
+    est. fig. ed. brig.
+    kg. km. cm. mm. mi. qt. sq. cu.""".split()
+)
+# Union kept for introspection/tests; membership checks below use the classes.
+ABBREVIATIONS = ABBREV_ALWAYS | ABBREV_CONTEXTUAL
 
 # single-letter acronyms with internal periods ("u.s.a.", "t.v.", "o.k.") are
 # single tokens at corenlp's PTBTokenizer — the trailing period stays attached
@@ -188,15 +208,19 @@ def ptb_tokenize_line(line: str, lowercase: bool = True) -> List[str]:
     s = s.replace("/", "\\/").replace("*", "\\*")
 
     # final pass: a trailing period becomes its own token unless the token is
-    # a known abbreviation, a single initial (b.), or an ellipsis; word tokens
+    # a known abbreviation (ALWAYS anywhere; CONTEXTUAL only with lookahead —
+    # i.e. not line-final), a single initial (b.), or an ellipsis; word tokens
     # then pass through the Americanize filter (corenlp default americanize=true)
     toks: List[str] = []
-    for tok in s.split():
+    raw = s.split()
+    last = len(raw) - 1
+    for i, tok in enumerate(raw):
+        keep_abbrev = tok in ABBREV_ALWAYS or (tok in ABBREV_CONTEXTUAL and i < last)
         if (
             len(tok) > 1
             and tok.endswith(".")
             and not all(c == "." for c in tok)
-            and tok not in ABBREVIATIONS
+            and not keep_abbrev
             and not (len(tok) == 2 and tok[0].isalpha())
             and not _ACRONYM.fullmatch(tok)
         ):

@@ -230,34 +230,43 @@ std::string ptb_tokenize(const std::string& line, bool lowercase) {
   s = replace_all(s, "*", "\\*");
 
   // final pass: a trailing period becomes its own token unless the token is
-  // a known abbreviation, a single initial (b.), or an ellipsis
-  // keep in sync with tokenizer.py ABBREVIATIONS (test_abbreviation_engine_sync)
-  static const std::set<std::string> kAbbrev = {
-      "dr.", "mr.", "mrs.", "ms.", "st.", "jr.", "sr.", "prof.", "gen.",
+  // a known abbreviation, a single initial (b.), or an ellipsis.
+  // TWO classes mirroring corenlp PTBLexer's lookahead design — keep in sync
+  // with tokenizer.py ABBREV_ALWAYS / ABBREV_CONTEXTUAL
+  // (test_abbreviation_engine_sync):
+  //  - ALWAYS: period stays in any position (titles, company, Latin).
+  //  - CONTEXTUAL: period stays only when NOT line-final (months, days,
+  //    states, streets, measures, entries colliding with common words) —
+  //    the ambiguity PTBLexer resolves with JFlex lookahead.
+  static const std::set<std::string> kAbbrevAlways = {
+      "dr.", "mr.", "mrs.", "ms.", "jr.", "sr.", "prof.", "gen.",
       "gov.", "sgt.", "capt.", "rev.", "hon.", "u.s.", "u.k.", "e.g.",
-      "i.e.", "etc.", "ft.", "lb.", "lbs.", "oz.", "vs.", "v.", "co.",
-      "inc.", "ltd.", "no.", "dept.", "approx.", "min.", "max.", "sec.",
-      "hr.", "a.m.", "p.m.",
-      "mt.", "ave.", "blvd.", "rd.", "lt.", "col.", "maj.", "adm.", "sen.",
-      "rep.", "pres.", "supt.", "det.", "jan.", "feb.", "mar.", "apr.",
-      "jun.", "jul.", "aug.", "sept.", "oct.", "nov.", "dec.", "est.",
-      "fig.", "misc.", "vol.", "ch.", "pp.", "ed.", "univ.", "assn.",
+      "i.e.", "etc.", "vs.", "co.", "inc.", "ltd.",
+      "dept.", "approx.", "hr.", "a.m.", "p.m.",
+      "lt.", "col.", "maj.", "adm.", "sen.", "pres.", "supt.", "det.",
+      "misc.", "vol.", "ch.", "pp.", "univ.", "assn.",
       "bros.", "corp.", "mfg.", "ph.d.",
       "adj.", "adv.", "asst.", "bldg.", "cmdr.", "comdr.", "cpl.",
       "drs.", "ens.", "insp.", "messrs.", "mlle.", "mme.", "msgr.", "pfc.",
       "pvt.", "sens.", "sfc.", "surg.", "atty.", "attys.", "esq.",
-      "sep.", "tues.", "thurs.",
-      "ala.", "ariz.", "calif.", "colo.", "conn.", "dak.", "del.",
-      "fla.", "ind.", "kan.", "kans.", "mich.", "minn.", "mont.", "neb.",
-      "nebr.", "nev.", "okla.", "penn.", "penna.", "tenn.", "tex.",
-      "wis.", "wisc.", "wyo.",
-      "cos.", "mfrs.", "mkt.", "pty.", "plc.", "dist.", "distrib.", "hwy.",
-      "fwy.", "pkwy.", "tpke.", "rte.",
+      "cos.", "mfrs.", "mkt.", "pty.", "plc.", "dist.", "distrib.",
       "cf.", "al.", "seq.", "viz.", "ibid.", "orig.", "incl.", "nos.",
-      "kg.", "km.", "cm.", "mm.", "mi.", "qt.", "hrs.", "mins.",
-      "secs.", "tsp.", "tbsp.", "sq.", "cu.",
+      "hrs.", "mins.", "secs.", "tsp.", "tbsp.",
       "exec.", "govt.", "natl.", "intl.", "admin.", "assoc.", "bldgs.",
       "mts.", "sts.", "rds."};
+  static const std::set<std::string> kAbbrevContextual = {
+      "st.", "ft.", "lb.", "lbs.", "oz.", "v.", "no.", "min.", "max.",
+      "sec.", "in.", "gal.", "reps.", "rep.",
+      "mt.", "ave.", "blvd.", "rd.", "hwy.", "fwy.", "pkwy.", "tpke.", "rte.",
+      "jan.", "feb.", "mar.", "apr.", "jun.", "jul.", "aug.", "sept.",
+      "oct.", "nov.", "dec.", "sep.",
+      "mon.", "tues.", "wed.", "thurs.", "fri.", "sat.", "sun.",
+      "ala.", "ariz.", "ark.", "calif.", "colo.", "conn.", "dak.", "del.",
+      "fla.", "ind.", "kan.", "kans.", "mich.", "minn.", "mont.", "neb.",
+      "nebr.", "nev.", "okla.", "ore.", "penn.", "penna.", "tenn.", "tex.",
+      "wis.", "wisc.", "wyo.",
+      "est.", "fig.", "ed.", "brig.",
+      "kg.", "km.", "cm.", "mm.", "mi.", "qt.", "sq.", "cu."};
   // single-letter acronyms with internal periods ("u.s.a.", "t.v.") are
   // single tokens at corenlp — mirror tokenizer.py's _ACRONYM rule
   auto is_acronym = [](const std::string& t) {
@@ -312,19 +321,24 @@ std::string ptb_tokenize(const std::string& line, bool lowercase) {
   };
   std::istringstream iss(s);
   std::string tok, out;
+  std::vector<std::string> raw;
+  while (iss >> tok) raw.push_back(tok);
   auto emit = [&out](const std::string& t) {
     if (!out.empty()) out += ' ';
     out += t;
   };
-  while (iss >> tok) {
-    bool all_dots = tok.find_first_not_of('.') == std::string::npos;
-    if (tok.size() > 1 && tok.back() == '.' && !all_dots && !kAbbrev.count(tok) &&
-        !(tok.size() == 2 && std::isalpha((unsigned char)tok[0])) &&
-        !is_acronym(tok)) {
-      emit(americanize(tok.substr(0, tok.size() - 1)));
+  for (size_t i = 0; i < raw.size(); ++i) {
+    const std::string& tk = raw[i];
+    bool all_dots = tk.find_first_not_of('.') == std::string::npos;
+    bool keep_abbrev = kAbbrevAlways.count(tk) ||
+                       (kAbbrevContextual.count(tk) && i + 1 < raw.size());
+    if (tk.size() > 1 && tk.back() == '.' && !all_dots && !keep_abbrev &&
+        !(tk.size() == 2 && std::isalpha((unsigned char)tk[0])) &&
+        !is_acronym(tk)) {
+      emit(americanize(tk.substr(0, tk.size() - 1)));
       emit(".");
     } else {
-      emit(americanize(tok));
+      emit(americanize(tk));
     }
   }
   return out;

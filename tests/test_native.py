@@ -111,7 +111,9 @@ def test_tokenizer_corpus_lock(monkeypatch):
 def test_abbreviation_engine_sync(monkeypatch):
     """Every entry of tokenizer.ABBREVIATIONS must behave identically in the
     C++ and Python engines, mid-sentence and sentence-final — catches a lexicon
-    entry added to one engine's hardcoded set but not the other."""
+    entry added to one engine's hardcoded set but not the other, or an entry
+    classed ALWAYS in one engine and CONTEXTUAL in the other."""
+    assert not (t.ABBREV_ALWAYS & t.ABBREV_CONTEXTUAL)
     for abbr in sorted(t.ABBREVIATIONS):
         for sent in (f"a {abbr} b", f"see the {abbr}"):
             nat = t.ptb_tokenize_line(sent)
@@ -119,8 +121,18 @@ def test_abbreviation_engine_sync(monkeypatch):
             py = t.ptb_tokenize_line(sent)
             monkeypatch.undo()
             assert nat == py, (abbr, sent, nat, py)
-            # and the period must actually stay attached (lexicon semantics)
-            assert abbr in py, (abbr, sent, py)
+        # lexicon semantics: mid-sentence the period always stays attached;
+        # line-final it stays only for the ALWAYS class (CONTEXTUAL entries
+        # are recognized with lookahead, like corenlp PTBLexer's JFlex rules)
+        mid = t.ptb_tokenize_line(f"a {abbr} b")
+        fin = t.ptb_tokenize_line(f"see the {abbr}")
+        assert abbr in mid, (abbr, mid)
+        if abbr in t.ABBREV_ALWAYS or len(abbr) == 2:
+            # len==2: the single-initial rule ("b.") keeps the period in any
+            # position, independent of abbreviation class ("v.")
+            assert abbr in fin, (abbr, fin)
+        else:
+            assert fin[-2:] == [t.americanize(abbr[:-1]), "."], (abbr, fin)
 
 
 def test_tokenizer_fuzz_python_cpp_identity(monkeypatch):
