@@ -62,20 +62,37 @@ def _build_datasets(
     return vocab, train_ds, eval_ds, reference
 
 
-def _load_generator_params(cfg, vocab, extra_ns):
+def _load_generator_params(cfg, vocab, extra_ns, mesh=None):
     """Init CapGnnModel params and overwrite from --torch_checkpoint /
     --metric (shared by `evaluate` and `serve`; cfg must be post-overrides)."""
-    import jax.numpy as jnp
+    import numpy as np
 
     from dlsg_tpu import checkpoint as ckpt
     from dlsg_tpu.models.generator import CapGnnModel
+    from dlsg_tpu.utils.hostinit import init_on_host, place_replicated
 
     model = CapGnnModel(cfg, len(vocab))
-    B = cfg.test_batch_size
-    frames = jnp.zeros((B, cfg.max_frames, cfg.feature_size))
-    regions = jnp.zeros((B, cfg.max_frames, cfg.num_obj, cfg.region_feature_size))
-    caps = jnp.zeros((B, cfg.max_words), jnp.int32)
-    params = model.init(jax.random.PRNGKey(cfg.seed), frames, regions, caps)["params"]
+    # batch-1 init (param shapes are batch-independent) — eager full-batch
+    # on-device init costs ~400 s of RTTs on a relay-attached TPU
+    frames = np.zeros((1, cfg.max_frames, cfg.feature_size), np.float32)
+    regions = np.zeros((1, cfg.max_frames, cfg.num_obj, cfg.region_feature_size),
+                       np.float32)
+    caps = np.zeros((1, cfg.max_words), np.int32)
+    if jax.process_count() > 1:
+        # multi-host: keep eager (uncommitted) init — hostinit placement is
+        # single-process only; batch-1 already cuts the RTT bytes
+        import jax.numpy as jnp
+
+        params = model.init(
+            jax.random.PRNGKey(cfg.seed),
+            jnp.asarray(frames), jnp.asarray(regions), jnp.asarray(caps),
+        )["params"]
+        host_inited = False
+    else:
+        params = init_on_host(
+            model, jax.random.PRNGKey(cfg.seed), frames, regions, caps
+        )["params"]
+        host_inited = True
     if extra_ns.torch_checkpoint:
         from dlsg_tpu.convert import load_reference_checkpoint
 
@@ -84,6 +101,12 @@ def _load_generator_params(cfg, vocab, extra_ns):
         ]["params"]
     elif extra_ns.metric:
         params = ckpt.restore_model(cfg.checkpoint_dir, extra_ns.metric, params)
+    if host_inited:
+        # the template (or converted/restored tree) may be CPU/host-committed:
+        # stage it on the accelerator — replicated over the mesh when one is
+        # live, so mesh-sharded eval/serve sees a consistent device set
+        # (see the hostinit placement note)
+        params = place_replicated(params, mesh)
     return model, params
 
 
@@ -93,6 +116,14 @@ def main(argv=None):
         print(__doc__)
         return 0
     command, rest = argv[0], argv[1:]
+
+    # Restore the local CPU backend when the shell pins JAX_PLATFORMS to the
+    # accelerator plugin (relay environments) — otherwise init_on_host's
+    # ~400 s relay-RTT saving silently degrades to eager on-device init.
+    # Must run before the first jax.devices() call below.
+    from dlsg_tpu.utils.hostinit import ensure_local_cpu_backend
+
+    ensure_local_cpu_backend()
 
     extra = argparse.ArgumentParser(add_help=False)
     extra.add_argument("--synthetic", action="store_true")
@@ -300,7 +331,7 @@ def main(argv=None):
         from dlsg_tpu.config import apply_dataset_overrides
 
         cfg = apply_dataset_overrides(cfg)
-        model, params = _load_generator_params(cfg, vocab, extra_ns)
+        model, params = _load_generator_params(cfg, vocab, extra_ns, mesh=mesh)
 
     if command == "export":
         from dlsg_tpu.bundle import save_bundle

@@ -110,7 +110,10 @@ class DLSGConfig:
     # MXU; tests/test_train_steps.py bit-identity) but measured +4-5% DEVICE
     # step time (BENCHMARKS.md "bf16-staged inputs"), so it only pays when
     # the training loop is transfer-bound: a remote/relay-attached TPU at
-    # ~0.04 GiB/s, not a co-located host. Off (fp32) by default.
+    # ~0.04 GiB/s, not a co-located host. Off (fp32) by default. Note: under
+    # compute_dtype='float32' the bf16 cast truncates features BEFORE fp32
+    # matmuls and is no longer numerics-identical — a deliberate
+    # memory/transfer trade, not the validated default pairing.
     input_stage_dtype: str = "float32"  # 'float32' | 'bfloat16'
     use_pallas_lstm: bool = False  # fused VMEM-resident LSTM scan kernel (TPU)
     # project the region tensor once for both TUN branches (one wide matmul).
@@ -206,6 +209,11 @@ class DLSGConfig:
     def stage_dtype(self):
         """Numpy dtype float feature batches are cast to before device_put
         (None = keep the loader's fp32; see input_stage_dtype)."""
+        if self.input_stage_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                "input_stage_dtype must be 'float32' or 'bfloat16', got "
+                f"{self.input_stage_dtype!r}"
+            )
         import jax.numpy as jnp
 
         return jnp.bfloat16 if self.input_stage_dtype == "bfloat16" else None

@@ -22,6 +22,19 @@ from dlsg_tpu.parallel.mesh import batch_sharding
 _SENTINEL = object()
 
 
+def stage_cast(array, stage_dtype):
+    """The single implementation of the `input_stage_dtype` staging policy:
+    cast one float feature array on the host before device_put, halving
+    host->device bytes for transfer-bound (remote/relay) deployments.
+    Numerics are unchanged under compute_dtype=bfloat16 (every consumer casts
+    before the MXU); see DLSGConfig.input_stage_dtype for the fp32-compute
+    caveat. Used by prefetch_to_device, evaluation.evaluate, and
+    serve.Captioner so the policy can't drift between paths."""
+    if stage_dtype is None:
+        return array
+    return np.asarray(array).astype(stage_dtype)
+
+
 def prefetch_to_device(
     batch_iter: Iterator[dict],
     mesh=None,
@@ -45,8 +58,8 @@ def prefetch_to_device(
     multihost = jax.process_count() > 1
 
     def _stage(k, v):
-        if stage_dtype is not None and k in cast_keys:
-            v = np.asarray(v).astype(stage_dtype)
+        if k in cast_keys:
+            v = stage_cast(v, stage_dtype)
         if sharding is None:
             return jax.device_put(v)
         if multihost:

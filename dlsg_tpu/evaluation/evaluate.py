@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dlsg_tpu.config import DLSGConfig
+from dlsg_tpu.data.prefetch import stage_cast
 from dlsg_tpu.metrics.scorer import COCOScorer
 from dlsg_tpu.models.decoder import expand_pre_to_beams
 from dlsg_tpu.ops.beam_search import beam_search
@@ -414,14 +415,11 @@ def evaluate(
     # device compute overlaps the fetch + host-side bookkeeping instead of
     # serializing with them. Results are consumed in order, so output
     # ordering is identical to the plain loop.
-    # stage_dtype (cfg.stage_dtype): cast features on host before shipping —
-    # halves device transfer bytes on relay-attached TPUs, token-identical
-    # under bf16 compute (tests/test_train_steps.py bit-identity).
+    # stage_dtype (cfg.stage_dtype): the input_stage_dtype staging policy,
+    # shared with prefetch/serve via data.prefetch.stage_cast.
     def _feats(b):
-        f, r = b["frames"], b["regions"]
-        if stage_dtype is not None:
-            f = np.asarray(f).astype(stage_dtype)
-            r = np.asarray(r).astype(stage_dtype)
+        f = stage_cast(b["frames"], stage_dtype)
+        r = stage_cast(b["regions"], stage_dtype)
         return jnp.asarray(f), jnp.asarray(r)
 
     pending = None

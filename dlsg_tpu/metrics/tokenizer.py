@@ -215,7 +215,13 @@ def ptb_tokenize_line(line: str, lowercase: bool = True) -> List[str]:
     raw = s.split()
     last = len(raw) - 1
     for i, tok in enumerate(raw):
-        keep_abbrev = tok in ABBREV_ALWAYS or (tok in ABBREV_CONTEXTUAL and i < last)
+        # PTBLexer's lookahead is character-level: the abbreviation rule only
+        # matches when followed by a letter/digit, so "gal. ," or "in. -RRB-"
+        # splits like line-final, not like "gal. of"
+        followed_by_word = i < last and raw[i + 1][:1].isalnum()
+        keep_abbrev = tok in ABBREV_ALWAYS or (
+            tok in ABBREV_CONTEXTUAL and followed_by_word
+        )
         if (
             len(tok) > 1
             and tok.endswith(".")

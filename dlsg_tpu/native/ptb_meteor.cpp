@@ -330,8 +330,14 @@ std::string ptb_tokenize(const std::string& line, bool lowercase) {
   for (size_t i = 0; i < raw.size(); ++i) {
     const std::string& tk = raw[i];
     bool all_dots = tk.find_first_not_of('.') == std::string::npos;
+    // PTBLexer's lookahead is character-level: contextual abbreviations only
+    // keep the period when followed by a letter/digit token ("gal. of", not
+    // "gal. ," / "in. -RRB-") — keep in sync with tokenizer.py
+    bool followed_by_word =
+        i + 1 < raw.size() && !raw[i + 1].empty() &&
+        std::isalnum((unsigned char)raw[i + 1][0]);
     bool keep_abbrev = kAbbrevAlways.count(tk) ||
-                       (kAbbrevContextual.count(tk) && i + 1 < raw.size());
+                       (kAbbrevContextual.count(tk) && followed_by_word);
     if (tk.size() > 1 && tk.back() == '.' && !all_dots && !keep_abbrev &&
         !(tk.size() == 2 && std::isalpha((unsigned char)tk[0])) &&
         !is_acronym(tk)) {

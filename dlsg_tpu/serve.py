@@ -21,7 +21,13 @@ import numpy as np
 
 from dlsg_tpu import checkpoint as ckpt
 from dlsg_tpu.config import DLSGConfig
+from dlsg_tpu.data.prefetch import stage_cast
 from dlsg_tpu.evaluation.evaluate import make_decode_fn
+from dlsg_tpu.utils.hostinit import (
+    ensure_local_cpu_backend,
+    init_on_host,
+    place_replicated,
+)
 from dlsg_tpu.models.generator import CapGnnModel
 from dlsg_tpu.vocab import Vocabulary
 
@@ -79,12 +85,25 @@ class Captioner:
     ) -> "Captioner":
         cfg2 = cfg
         model = CapGnnModel(cfg2, len(vocab))
-        B = cfg2.test_batch_size
-        frames = jnp.zeros((B, cfg2.max_frames, cfg2.feature_size))
-        regions = jnp.zeros((B, cfg2.max_frames, cfg2.num_obj, cfg2.region_feature_size))
-        caps = jnp.zeros((B, cfg2.max_words), jnp.int32)
-        params = model.init(jax.random.PRNGKey(cfg2.seed), frames, regions, caps)["params"]
+        # Restore template built on the LOCAL CPU backend at batch 1 — the
+        # serving cold-start used to run eager full-batch init through the
+        # relay (~400 s of RTTs at MSR-VTT dims, utils/hostinit.py) before a
+        # single caption. Param shapes are batch-independent and threefry is
+        # backend-deterministic, so the template is identical.
+        ensure_local_cpu_backend()
+        frames = np.zeros((1, cfg2.max_frames, cfg2.feature_size), np.float32)
+        regions = np.zeros(
+            (1, cfg2.max_frames, cfg2.num_obj, cfg2.region_feature_size), np.float32
+        )
+        caps = np.zeros((1, cfg2.max_words), np.int32)
+        params = init_on_host(
+            model, jax.random.PRNGKey(cfg2.seed), frames, regions, caps
+        )["params"]
         params = ckpt.restore_model(ckpt_dir or cfg2.checkpoint_dir, name, params)
+        # the template may be CPU-committed: stage the restored tree on the
+        # accelerator explicitly (device_put with no target is a no-op for
+        # committed arrays — see the hostinit placement note)
+        params = place_replicated(params, mesh)
         return cls(cfg, vocab, params, fast=fast, mesh=mesh)
 
     @classmethod
@@ -170,11 +189,10 @@ class Captioner:
             if n < b:  # pad to the bucket's static shape
                 fr = np.concatenate([fr, np.repeat(fr[-1:], b - n, 0)], 0)
                 rg = np.concatenate([rg, np.repeat(rg[-1:], b - n, 0)], 0)
-            if (sd := cfg.stage_dtype) is not None:
-                # input_stage_dtype: halve host->device bytes on
-                # transfer-bound (remote-attached) serving hosts; tokens
-                # identical under bf16 compute (BENCHMARKS.md)
-                fr, rg = fr.astype(sd), rg.astype(sd)
+            # input_stage_dtype staging policy (shared stage_cast; tokens
+            # identical under bf16 compute, BENCHMARKS.md)
+            sd = cfg.stage_dtype
+            fr, rg = stage_cast(fr, sd), stage_cast(rg, sd)
             ids = np.asarray(fn(self.variables, jnp.asarray(fr), jnp.asarray(rg)))
             out.extend(self.vocab.decode_tokens(t) for t in ids[:n])
         return out

@@ -26,6 +26,33 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def ensure_local_cpu_backend() -> bool:
+    """Make `jax.devices("cpu")` usable alongside a pinned accelerator platform.
+
+    Relay environments pin JAX_PLATFORMS to the accelerator plugin (e.g.
+    `axon`), which makes the CPU backend unavailable and silently downgrades
+    `init_on_host` to eager on-device init — re-paying the ~400 s of relay
+    RTTs it exists to remove. Appending `,cpu` keeps the accelerator as the
+    default platform (priority = list order) while restoring the local CPU
+    backend. Must run BEFORE JAX initializes its backends (first
+    `jax.devices()`/computation); afterwards it can only report availability.
+    Returns True when a CPU backend is available. Call this at entry points
+    (cli commands, Captioner.from_checkpoint, bench) — not at import.
+    """
+    import os
+
+    plats = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    if plats and "cpu" not in plats.split(","):
+        try:
+            jax.config.update("jax_platforms", plats + ",cpu")
+        except Exception:
+            pass  # backends already initialized — too late to extend the list
+    try:
+        return len(jax.devices("cpu")) > 0
+    except RuntimeError:
+        return False
+
+
 def init_on_host(model, rng, *args, **kwargs):
     """`model.init(rng, *args)` on the local CPU backend at batch size 1.
 

@@ -117,7 +117,10 @@ def end_to_end():
     cfg = apply_dataset_overrides(DLSGConfig(dataset="msr-vtt", compute_dtype="bfloat16"))
     progs = {}
     for name, cfg_v in (
-        ("exact_topk", cfg),
+        # pin the sort-based baseline explicitly: decode_approx_topk=1.0 is
+        # the DEFAULT since the round-5 ship, so the bare cfg would compile
+        # the same PartialReduce program as the other arm
+        ("exact_topk", replace(cfg, decode_approx_topk=0.0)),
         ("approx_1.0", replace(cfg, decode_approx_topk=1.0)),
     ):
         prog = bench.prepare_decode(cfg_v, 10000, 128)

@@ -152,3 +152,17 @@ def test_init_on_host_and_place_replicated():
     leaf = jax.tree.leaves(placed_mesh)[0]
     assert leaf.sharding.device_set == set(mesh.devices.flat)
     assert leaf.sharding.is_fully_replicated
+
+
+def test_input_stage_dtype_is_validated():
+    """Typos like 'bf16' must raise, not silently no-op the transfer knob."""
+    import dataclasses
+
+    import pytest
+
+    from dlsg_tpu.config import DLSGConfig
+
+    cfg = dataclasses.replace(DLSGConfig(), input_stage_dtype="bf16")
+    with pytest.raises(ValueError, match="input_stage_dtype"):
+        _ = cfg.stage_dtype
+    assert DLSGConfig().stage_dtype is None  # fp32 default -> no cast
