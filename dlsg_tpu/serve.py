@@ -2,7 +2,7 @@
 
 A thin production-facing layer over the decode pipeline: load a trained
 checkpoint once, then caption pre-extracted feature batches at the measured
-~4.3k captions/s (beam 5, v5e). The reference has no serving story — its only
+~4.5k captions/s (beam 5, v5e). The reference has no serving story — its only
 inference path is the evaluation loop inside training.
 
 Usage:
