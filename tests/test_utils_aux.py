@@ -166,3 +166,14 @@ def test_input_stage_dtype_is_validated():
     with pytest.raises(ValueError, match="input_stage_dtype"):
         _ = cfg.stage_dtype
     assert DLSGConfig().stage_dtype is None  # fp32 default -> no cast
+
+
+def test_ensure_local_cpu_backend_reports_availability():
+    """Under the test env (JAX_PLATFORMS=cpu) the CPU backend exists, so the
+    entry-point helper must report True and leave jax.devices() usable."""
+    import jax
+
+    from dlsg_tpu.utils.hostinit import ensure_local_cpu_backend
+
+    assert ensure_local_cpu_backend() is True
+    assert len(jax.devices("cpu")) >= 1
