@@ -54,9 +54,11 @@ def save_train(
         "epoch": np.asarray(epoch),
         "gen_params": jax.device_get(gen_state.params),
         "gen_opt_leaves": jax.device_get(jax.tree_util.tree_leaves(gen_state.opt_state)),
-        # the step counter seeds the per-step model rngs (_model_rngs) — it
-        # must survive resume for the resumed run to reproduce the
-        # uninterrupted one
+        # the step counter seeds the per-step model rngs (_model_rngs); with
+        # the trainers' per-epoch host rng streams (fold_in(base, epoch) at
+        # each epoch start) it makes an epoch-boundary resume reproduce the
+        # uninterrupted run's draws exactly (test_gan_trainer_auto_resume_
+        # continuity)
         "gen_step": jax.device_get(gen_state.step),
     }
     if disc_state is not None:
@@ -106,8 +108,6 @@ def restore_train(
         "gan_lambda_state": None,
     }
     if restored.get("gan_lambda_state") is not None and lambda_state is not None:
-        import jax.numpy as jnp
-
         out["gan_lambda_state"] = jax.tree_util.tree_map(
             lambda tpl, arr: jnp.asarray(arr, tpl.dtype),
             lambda_state,

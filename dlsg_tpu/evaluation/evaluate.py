@@ -164,7 +164,10 @@ def _make_beam_from_feats(model, cfg: DLSGConfig, beam: int, mesh=None) -> Calla
                 getattr(cfg, "decode_fast_lse", True)
                 and getattr(cfg, "decode_quant", "none") == "none"
             ),
-            approx_topk_recall=getattr(cfg, "decode_approx_topk", 0.0),
+            approx_topk_recall=getattr(cfg, "decode_approx_topk", 1.0),
+            # sharded decode: drop the all-ended early-exit check — it would
+            # force one AllReduce per step on the mesh (beam_search docstring)
+            early_exit=mesh is None,
             return_finished=True,
         )
 
@@ -281,7 +284,7 @@ def _jit_decode(decode, mesh) -> Callable:
     return jax.jit(wrapper)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=8)  # bounded: each entry pins a Mesh + executable
 def _replicate_jit(out_sharding):
     """One cached identity-jit per target sharding: a fresh `jax.jit(lambda..)`
     per leaf per call would miss jit's function-keyed cache and recompile the

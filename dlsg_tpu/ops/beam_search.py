@@ -44,6 +44,7 @@ def beam_search(
     fast_lse: bool = False,
     approx_topk_recall: float = 0.0,
     return_finished: bool = False,
+    early_exit: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run beam search.
 
@@ -197,6 +198,12 @@ def beam_search(
         # most of the loop's matmuls in production decodes. Post-end
         # attention aux is zero here (the full-compute path would emit the
         # decoder's post-<end> attention, which is meaningless anyway).
+        # `early_exit=False` (sharded decode) drops the check entirely: with
+        # last_preds sharded over a mesh, the jnp.all would force one
+        # AllReduce per step in an otherwise collective-free map, and the
+        # cond rarely pays under SPMD (all shards must agree to skip).
+        if not early_exit:
+            return step_math(carry)
         all_ended = jnp.all(carry[0] == end_id)
 
         def skip(carry):
@@ -239,9 +246,8 @@ def beam_search(
     # token for step k+1 is preds_seq[k] gathered by cur_ptr, after which
     # cur_ptr follows backptr_seq[k]. Starting from the identity pointer this
     # reproduces allennlp_beamsearch.py:270-292 exactly.
-    init_ptr = jnp.tile(jnp.arange(beam_size)[None, :], (B, 1))
     cur_ptr, (tail_tokens, tail_aux) = jax.lax.scan(
-        recon_body, init_ptr, (preds_seq, backptr_seq, aux_seq), reverse=True
+        recon_body, identity_ptr, (preds_seq, backptr_seq, aux_seq), reverse=True
     )
     # tail_tokens: [max_steps-1, B, beam] — steps 1..max_steps-1
     first_tokens = jnp.take_along_axis(start_ids, cur_ptr, axis=1)  # step 0

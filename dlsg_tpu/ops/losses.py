@@ -126,12 +126,17 @@ def make_gradient_penalty_rof(apply_fn: Callable):
     return gp
 
 
+# WGAN-GP gradient-penalty weight (run_gun.py:372-375) — the single source
+# for every D-loss site (wgan_d_loss, wgan_d_loss_fused, train/steps.py).
+GP_WEIGHT = 10.0
+
+
 def wgan_d_loss(
     d_fn: Callable[[jnp.ndarray], jnp.ndarray],
     real: jnp.ndarray,
     fake: jnp.ndarray,
     eps: jnp.ndarray,
-    gp_weight: float = 10.0,
+    gp_weight: float = GP_WEIGHT,
 ):
     """Discriminator loss f - r + 10*gp (run_gun.py:372-375).
 
@@ -151,7 +156,7 @@ def wgan_d_loss_fused(
     real: jnp.ndarray,
     fake: jnp.ndarray,
     eps: jnp.ndarray,
-    gp_weight: float = 10.0,
+    gp_weight: float = GP_WEIGHT,
 ):
     """`wgan_d_loss` in ONE discriminator traversal over [real|fake|interp].
 

@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dlsg_tpu.config import DLSGConfig
 from dlsg_tpu.ops.losses import (
+    GP_WEIGHT,
     gradient_penalty,
     make_gradient_penalty_rof,
     masked_cross_entropy,
@@ -92,7 +93,7 @@ def make_gan_train_step(gen_model, disc_model, cfg: DLSGConfig, mesh: Optional[M
         "dots": jax.checkpoint_policies.dots_saveable,
         "full": jax.checkpoint_policies.nothing_saveable,
     }[getattr(cfg, "disc_remat", "none")]
-    gp_custom_vjp = getattr(cfg, "gan_gp_custom_vjp", False)
+    gp_custom_vjp = getattr(cfg, "gan_gp_custom_vjp", True)  # match DLSGConfig default
 
     def step(
         gen_state: TrainState,
@@ -218,7 +219,7 @@ def make_gan_train_step(gen_model, disc_model, cfg: DLSGConfig, mesh: Optional[M
                         lambda caps: apply_d(dparams, caps),
                         r_caption, f_caption, eps_gp,
                     )
-                loss = f_loss - r_loss + 10.0 * gp
+                loss = f_loss - r_loss + GP_WEIGHT * gp
                 return loss, {"wasserstein": r_loss - f_loss, "gp": gp}
 
             (loss_d, aux), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(

@@ -218,6 +218,16 @@ def test_early_exit_skip_preserves_semantics():
     assert (preds[:, :, 2:] == END).all()
     assert np.isfinite(np.asarray(lps)).all()
 
+    # early_exit=False (the sharded-decode mode: no per-step all-ended
+    # AllReduce) must be bit-identical — the forced-end math it always runs
+    # is exactly what the cond's skip branch replaces
+    preds_ne, lps_ne = beam_search(
+        start, {"t": jnp.zeros((B,), jnp.int32)}, step_fn,
+        end_id=END, max_steps=T, beam_size=2, early_exit=False,
+    )
+    assert (np.asarray(preds_ne) == preds).all()
+    assert (np.asarray(lps_ne) == np.asarray(lps)).all()
+
 
 def test_approx_topk_mode_runs_and_matches_on_separated_logits():
     """decode_approx_topk wires jax.lax.approx_max_k into the wide per-row
