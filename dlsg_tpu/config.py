@@ -115,6 +115,15 @@ class DLSGConfig:
     # matmuls and is no longer numerics-identical — a deliberate
     # memory/transfer trade, not the validated default pairing.
     input_stage_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    # training-batch assembly worker processes (the reference's DataLoader
+    # num_workers=4, utils/data.py:118). 0 = in-process single-copy get_batch
+    # (~2.3 GiB/s warm — enough wherever the host->device link is the loop
+    # bound, e.g. a relay-attached chip); >0 spawns that many workers filling
+    # shared-memory slots (data/parallel_loader.py) for co-located hosts
+    # where single-core assembly (~419 ms/batch at MSR-VTT B=128) would
+    # starve a ~112 ms step. Requires a dataset with spawn_spec()
+    # (CaptionDataset / EvalVideoDataset).
+    loader_workers: int = 0
     use_pallas_lstm: bool = False  # fused VMEM-resident LSTM scan kernel (TPU)
     # project the region tensor once for both TUN branches (one wide matmul).
     # Measured SLOWER on v5e (12.5 vs 9.5 ms encode: the wide output + slices

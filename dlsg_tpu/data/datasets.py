@@ -69,6 +69,7 @@ class CaptionDataset:
     def __init__(self, cfg: DLSGConfig, cap_pkl: Optional[str] = None):
         self.cfg = cfg
         cap_pkl = cap_pkl or cfg.train_caption_pkl_path
+        self._cap_pkl = cap_pkl  # spawn_spec: worker processes rebuild from this
         with open(cap_pkl, "rb") as f:
             captions, pos_tags, lengths, video_ids = pickle.load(f)
         self.captions, self.lengths = _to_numpy_captions(captions, lengths, cfg.max_words)
@@ -111,13 +112,35 @@ class CaptionDataset:
         """
         idxs = np.asarray(idxs, np.int64)
         B = len(idxs)
+        shapes = self.feature_slot_shapes(B)
+        bufs = {k: np.empty(*s) for k, s in shapes.items()}
+        return self.read_batch_into(idxs, **bufs)
+
+    def feature_slot_shapes(self, batch_size: int) -> dict:
+        """{field: ((batch shape), dtype)} of the big per-batch feature
+        buffers — the slot layout for parallel_loader's shared memory."""
         O = self.cfg.num_obj
         T, F = self.video_feats.shape[1:]
         _, R = self.region_feats.shape[2:]
         OS, S = self.spatial_feats.shape[2:]  # spatials keep ALL stored boxes
-        frames = np.empty((B, T, F), np.float32)
-        regions = np.empty((B, T, O, R), np.float32)
-        spatials = np.empty((B, T, OS, S), np.float32)
+        return {
+            "frames": ((batch_size, T, F), np.float32),
+            "regions": ((batch_size, T, O, R), np.float32),
+            "spatials": ((batch_size, T, OS, S), np.float32),
+        }
+
+    def spawn_spec(self):
+        """(callable, args) a worker process uses to rebuild this dataset —
+        h5py handles cannot cross a process boundary."""
+        return (type(self), (self.cfg, self._cap_pkl))
+
+    def read_batch_into(self, idxs, frames, regions, spatials) -> dict:
+        """Assemble rows 0..len(idxs)-1 of a batch STRAIGHT into the supplied
+        buffers (first dims may exceed len(idxs) — parallel_loader passes
+        fixed-size shared-memory slots); returns the full batch dict with the
+        small host-resident fields."""
+        idxs = np.asarray(idxs, np.int64)
+        O = self.cfg.num_obj
         vids = self.video_ids[idxs]
         for i in np.argsort(vids, kind="stable"):
             vid = int(vids[i])
@@ -166,14 +189,31 @@ class EvalVideoDataset:
     def get_batch(self, idxs) -> dict:
         """Single-copy batch assembly (see CaptionDataset.get_batch)."""
         idxs = np.asarray(idxs, np.int64)
-        B = len(idxs)
+        shapes = self.feature_slot_shapes(len(idxs))
+        bufs = {k: np.empty(*s) for k, s in shapes.items()}
+        return self.read_batch_into(idxs, **bufs)
+
+    def feature_slot_shapes(self, batch_size: int) -> dict:
+        """See CaptionDataset.feature_slot_shapes."""
         O = self.cfg.num_obj
         T, F = self.video_feats.shape[1:]
         _, R = self.region_feats.shape[2:]
         OS, S = self.spatial_feats.shape[2:]  # spatials keep ALL stored boxes
-        frames = np.empty((B, T, F), np.float32)
-        regions = np.empty((B, T, O, R), np.float32)
-        spatials = np.empty((B, T, OS, S), np.float32)
+        return {
+            "frames": ((batch_size, T, F), np.float32),
+            "regions": ((batch_size, T, O, R), np.float32),
+            "spatials": ((batch_size, T, OS, S), np.float32),
+        }
+
+    def spawn_spec(self):
+        """See CaptionDataset.spawn_spec."""
+        rng = (self.eval_list[0], self.eval_list[-1] + 1) if self.eval_list else (0, 0)
+        return (type(self), (self.cfg, rng))
+
+    def read_batch_into(self, idxs, frames, regions, spatials) -> dict:
+        """See CaptionDataset.read_batch_into."""
+        idxs = np.asarray(idxs, np.int64)
+        O = self.cfg.num_obj
         vids = np.asarray([self.eval_list[i] for i in idxs], np.int64)
         for i in np.argsort(vids, kind="stable"):
             vid = int(vids[i])

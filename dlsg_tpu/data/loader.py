@@ -34,6 +34,30 @@ def _stack_batch(dataset, idxs, use_get_batch: Optional[bool] = None) -> Dict[st
     return {k: np.stack([s[k] for s in samples], 0) for k in samples[0]}
 
 
+def epoch_batch_indices(
+    n: int,
+    batch_size: int,
+    *,
+    seed: int = 12,
+    epoch: int = 0,
+    shard_index: int = 0,
+    num_shards: int = 1,
+    drop_remainder: bool = True,
+) -> list:
+    """The epoch's batch index lists: shuffled by (seed, epoch) identically on
+    every host, then a strided per-host slice — the standard multi-host SPMD
+    recipe. The single source of the epoch order, shared by `train_batches`
+    and `parallel_loader.ParallelBatcher` so the two paths are batch-for-batch
+    identical by construction."""
+    order = np.random.default_rng(seed + 1000 * epoch).permutation(n)
+    order = order[shard_index::num_shards]
+    num_full = len(order) // batch_size
+    batches = [order[b * batch_size : (b + 1) * batch_size] for b in range(num_full)]
+    if len(order) % batch_size and not drop_remainder:
+        batches.append(order[num_full * batch_size :])
+    return batches
+
+
 def train_batches(
     dataset,
     batch_size: int,
@@ -45,22 +69,17 @@ def train_batches(
     drop_remainder: bool = True,
     use_get_batch: Optional[bool] = None,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Shuffled, sharded training batches.
-
-    Shuffle is seeded by (seed, epoch) identically on every host, then each host
-    takes a strided slice — the standard multi-host SPMD recipe.
-    """
-    n = len(dataset)
-    order = np.random.default_rng(seed + 1000 * epoch).permutation(n)
-    order = order[shard_index::num_shards]
-    num_full = len(order) // batch_size
-    for b in range(num_full):
-        yield _stack_batch(
-            dataset, order[b * batch_size : (b + 1) * batch_size], use_get_batch
-        )
-    rem = len(order) % batch_size
-    if rem and not drop_remainder:
-        yield _stack_batch(dataset, order[num_full * batch_size :], use_get_batch)
+    """Shuffled, sharded training batches (see `epoch_batch_indices`)."""
+    for idxs in epoch_batch_indices(
+        len(dataset),
+        batch_size,
+        seed=seed,
+        epoch=epoch,
+        shard_index=shard_index,
+        num_shards=num_shards,
+        drop_remainder=drop_remainder,
+    ):
+        yield _stack_batch(dataset, idxs, use_get_batch)
 
 
 def eval_batches(

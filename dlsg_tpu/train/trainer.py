@@ -201,20 +201,48 @@ class _TrainerBase:
         batch["captions"] = batch["captions"][:, : self.cfg.max_words]
         return batch
 
+    def _host_batches(self, epoch, num_shards, shard_index):
+        """The epoch's host-side batch iterator: in-process by default, or
+        the process-parallel assembler when cfg.loader_workers > 0 (the
+        reference's DataLoader num_workers, utils/data.py:115-130). The
+        worker pool spawns once and persists across epochs; _close_loader()
+        releases it at the end of train()."""
+        if self.cfg.loader_workers > 0 and hasattr(self.train_dataset, "spawn_spec"):
+            if getattr(self, "_parallel_batcher", None) is None:
+                from dlsg_tpu.data.parallel_loader import ParallelBatcher
+
+                self._parallel_batcher = ParallelBatcher(
+                    self.train_dataset,
+                    self.cfg.train_batch_size,
+                    num_workers=self.cfg.loader_workers,
+                )
+            return self._parallel_batcher.epoch_batches(
+                seed=self.cfg.seed,
+                epoch=epoch,
+                shard_index=shard_index,
+                num_shards=num_shards,
+            )
+        return train_batches(
+            self.train_dataset,
+            self.cfg.train_batch_size,
+            seed=self.cfg.seed,
+            epoch=epoch,
+            shard_index=shard_index,
+            num_shards=num_shards,
+        )
+
+    def _close_loader(self):
+        if getattr(self, "_parallel_batcher", None) is not None:
+            self._parallel_batcher.close()
+            self._parallel_batcher = None
+
     def _batches(self, epoch, num_shards, shard_index):
         """Sharded, shuffled, device-prefetched training batches."""
         from dlsg_tpu.data.prefetch import prefetch_to_device
 
         host = (
             self._slice_batch(b)
-            for b in train_batches(
-                self.train_dataset,
-                self.cfg.train_batch_size,
-                seed=self.cfg.seed,
-                epoch=epoch,
-                shard_index=shard_index,
-                num_shards=num_shards,
-            )
+            for b in self._host_batches(epoch, num_shards, shard_index)
         )
         return prefetch_to_device(host, self.mesh, stage_dtype=self.cfg.stage_dtype)
 
@@ -477,6 +505,7 @@ class RunGAN(_TrainerBase):
             self.result_handler.print_results()
             self._print(f"*******One epoch time: {time.time() - start_time:.3f}s*******")
             self._print(self.stopwatch.report() + "\n")
+        self._close_loader()
         return self.result_handler
 
 
@@ -552,6 +581,7 @@ class Run(_TrainerBase):
                 _consume(pending)
             self.result_handler.print_results()
             self._print(f"*******One epoch time: {time.time() - start:.3f}s*******\n")
+        self._close_loader()
         return self.result_handler
 
 
